@@ -182,16 +182,13 @@ class PretrainedModel:
 
     @classmethod
     def convert_foreign_state_dict(cls, flat: Dict[str, np.ndarray], config) -> Dict[str, np.ndarray]:
-        """Rename keys from torch/paddle layouts to ours. Default: regex map."""
-        if not cls.torch_key_map:
-            return flat
-        out = {}
-        for k, v in flat.items():
-            nk = k
-            for pat, rep in cls.torch_key_map:
-                nk = re.sub(pat, rep, nk)
-            out[nk] = v
-        return out
+        """Rename + re-lay-out keys from torch/paddle checkpoints.
+
+        torch Linear stores (out, in); flax Dense kernels are (in, out) — the
+        transpose must be semantic (shape comparison misses square matrices).
+        Conv OIHW -> HWIO. Only keys ending in ``.weight`` are touched, so our
+        own (``.kernel``-named) checkpoints pass through untouched."""
+        return convert_torch_state_dict(flat, cls.torch_key_map)
 
     @classmethod
     def from_pretrained(
@@ -238,6 +235,28 @@ class PretrainedModel:
         model.params = cast_floating(unflatten_params(loaded), dtype)
         model.dtype = dtype
         return model
+
+
+_EMBEDDING_MARKERS = ("embedding", "embed_tokens", ".wte.", ".wpe.", ".shared.")
+
+
+def _is_embedding_key(key: str) -> bool:
+    return any(m in key for m in _EMBEDDING_MARKERS)
+
+
+def convert_torch_state_dict(flat: Dict[str, np.ndarray], key_map=()) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in flat.items():
+        nv = v
+        if k.endswith(".weight") and getattr(v, "ndim", 0) == 2 and not _is_embedding_key(k):
+            nv = np.asarray(v).T
+        elif k.endswith(".weight") and getattr(v, "ndim", 0) == 4:
+            nv = np.transpose(np.asarray(v), (2, 3, 1, 0))  # OIHW -> HWIO
+        nk = k
+        for pat, rep in key_map:
+            nk = re.sub(pat, rep, nk)
+        out[nk] = nv
+    return out
 
 
 def _coerce_shape(key: str, v: np.ndarray, target: tuple):

@@ -1,0 +1,28 @@
+"""Schedulers as pure solvers over explicit state (jit/fori_loop native).
+
+Coverage tracks the reference's scheduler zoo
+(ppdiffusers/ppdiffusers/schedulers/, 33 schedulers); the long tail is being
+added behind the same Scheduler/State pattern."""
+
+from .common import Scheduler, SchedulerConfig
+from .scheduling_ddim import DDIMConfig, DDIMScheduler, DDIMState
+from .scheduling_ddpm import DDPMConfig, DDPMScheduler, DDPMState
+from .scheduling_dpmsolver import DPMSolverConfig, DPMSolverMultistepScheduler, DPMSolverState
+from .scheduling_euler import (
+    EulerAncestralDiscreteScheduler,
+    EulerConfig,
+    EulerDiscreteScheduler,
+    EulerState,
+)
+from .scheduling_flow_match import FlowMatchConfig, FlowMatchEulerDiscreteScheduler, FlowMatchState
+from .scheduling_lcm import LCMConfig, LCMScheduler, LCMState
+
+SCHEDULER_REGISTRY = {
+    "DDIMScheduler": DDIMScheduler,
+    "DDPMScheduler": DDPMScheduler,
+    "DPMSolverMultistepScheduler": DPMSolverMultistepScheduler,
+    "EulerDiscreteScheduler": EulerDiscreteScheduler,
+    "EulerAncestralDiscreteScheduler": EulerAncestralDiscreteScheduler,
+    "FlowMatchEulerDiscreteScheduler": FlowMatchEulerDiscreteScheduler,
+    "LCMScheduler": LCMScheduler,
+}

@@ -1,0 +1,10 @@
+from .configuration import CLIPConfig, CLIPTextConfig, CLIPVisionConfig
+from .modeling import (
+    CLIPModel,
+    CLIPModule,
+    CLIPTextModel,
+    CLIPTextTransformer,
+    CLIPVisionTransformer,
+    clip_contrastive_loss,
+)
+from .tokenizer import CLIPTokenizer

@@ -1,0 +1,167 @@
+"""CLIP byte-BPE tokenizer (pure python, no torch/paddle).
+
+Functional equivalent of the reference's CLIP tokenizer
+(paddlemix/processors/tokenizer.py + bpe_simple_vocab_16e6.txt.gz): lowercase,
+whitespace cleanup, byte-level BPE with </w> word-end markers, start/end
+specials. Loads HF-format vocab.json + merges.txt from a checkpoint dir."""
+
+from __future__ import annotations
+
+import functools
+import gzip
+import json
+import os
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@functools.lru_cache()
+def bytes_to_unicode() -> Dict[int, str]:
+    bs = list(range(ord("!"), ord("~") + 1)) + list(range(ord("¡"), ord("¬") + 1)) + list(range(ord("®"), ord("ÿ") + 1))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def get_pairs(word: Tuple[str, ...]):
+    pairs = set()
+    prev = word[0]
+    for ch in word[1:]:
+        pairs.add((prev, ch))
+        prev = ch
+    return pairs
+
+
+def basic_clean(text: str) -> str:
+    return re.sub(r"\s+", " ", text).strip()
+
+
+class CLIPTokenizer:
+    def __init__(self, vocab: Dict[str, int], merges: Sequence[Tuple[str, str]],
+                 bos_token: str = "<|startoftext|>", eos_token: str = "<|endoftext|>",
+                 pad_token: Optional[str] = None, model_max_length: int = 77):
+        self.encoder = dict(vocab)
+        self.decoder = {v: k for k, v in self.encoder.items()}
+        self.bpe_ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        self.bos_token, self.eos_token = bos_token, eos_token
+        self.pad_token = pad_token or eos_token
+        self.model_max_length = model_max_length
+        self.cache: Dict[str, str] = {}
+        self.pat = re.compile(
+            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\w]+|[\d]|[^\s\w\d]+""",
+            re.IGNORECASE,
+        )
+
+    @property
+    def bos_token_id(self) -> int:
+        return self.encoder[self.bos_token]
+
+    @property
+    def eos_token_id(self) -> int:
+        return self.encoder[self.eos_token]
+
+    @property
+    def pad_token_id(self) -> int:
+        return self.encoder[self.pad_token]
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.encoder)
+
+    @classmethod
+    def from_pretrained(cls, path: str, subfolder: Optional[str] = None, **kwargs):
+        from ...utils.hub import resolve_file
+
+        vocab_path = resolve_file(path, "vocab.json", subfolder=subfolder)
+        merges_path = resolve_file(path, "merges.txt", subfolder=subfolder)
+        with open(vocab_path) as f:
+            vocab = json.load(f)
+        opener = gzip.open if merges_path.endswith(".gz") else open
+        with opener(merges_path, "rt") as f:
+            lines = f.read().split("\n")
+        merges = [tuple(l.split()) for l in lines if l and not l.startswith("#") and len(l.split()) == 2]
+        return cls(vocab, merges, **kwargs)
+
+    def bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        pairs = get_pairs(word) if len(word) > 1 else set()
+        if not pairs:
+            return token + "</w>"
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word: List[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = get_pairs(word)
+        out = " ".join(word)
+        self.cache[token] = out
+        return out
+
+    def encode(self, text: str) -> List[int]:
+        ids: List[int] = []
+        text = basic_clean(text).lower()
+        for token in re.findall(self.pat, text):
+            token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            ids.extend(self.encoder[t] for t in self.bpe(token).split(" ") if t in self.encoder)
+        return ids
+
+    def decode(self, ids: Sequence[int]) -> str:
+        text = "".join(self.decoder.get(int(i), "") for i in ids)
+        data = bytearray(self.byte_decoder[c] for c in text if c in self.byte_decoder)
+        return data.decode("utf-8", errors="replace").replace("</w>", " ").strip()
+
+    def __call__(self, texts, max_length: Optional[int] = None, padding: str = "max_length",
+                 truncation: bool = True) -> Dict[str, np.ndarray]:
+        if isinstance(texts, str):
+            texts = [texts]
+        max_length = max_length or self.model_max_length
+        all_ids, all_mask = [], []
+        for t in texts:
+            ids = [self.bos_token_id] + self.encode(t) + [self.eos_token_id]
+            if truncation and len(ids) > max_length:
+                ids = ids[: max_length - 1] + [self.eos_token_id]
+            mask = [1] * len(ids)
+            if padding == "max_length":
+                pad = max_length - len(ids)
+                ids = ids + [self.pad_token_id] * pad
+                mask = mask + [0] * pad
+            all_ids.append(ids)
+            all_mask.append(mask)
+        if padding != "max_length":
+            longest = max(len(i) for i in all_ids)
+            all_ids = [i + [self.pad_token_id] * (longest - len(i)) for i in all_ids]
+            all_mask = [m + [0] * (longest - len(m)) for m in all_mask]
+        return {
+            "input_ids": np.asarray(all_ids, dtype=np.int32),
+            "attention_mask": np.asarray(all_mask, dtype=np.int32),
+        }

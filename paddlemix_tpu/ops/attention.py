@@ -1,0 +1,458 @@
+"""Attention: Pallas flash kernels + XLA math reference + backend dispatch.
+
+TPU-native replacement for the reference's attention stack:
+ - SDPA backend dispatch (reference ppdiffusers/patches/paddle_patch.py:414-530:
+   math / cutlass / varlen / flash selected by dtype+env) -> here pallas-vs-XLA
+   chosen by platform/shape with env overrides.
+ - Paddle flash-attention + varlen flash_attn_unpadded (reference
+   paddlemix/models/flash_attn_utils.py:6-27, qwen2_vl/modeling_qwen2_vl.py:710-812)
+   -> one flash kernel with segment-id masking (packing and varlen become
+   segment ids on TPU: no unpad/pad round-trips, shapes stay static).
+
+Layout convention: q/k/v are (batch, seq, num_heads, head_dim) (flax style).
+GQA/MQA supported (kv heads may divide q heads).
+
+Forward + backward are custom Pallas kernels (flash fwd; dkv + dq bwd) with
+an lse-based residual, mirroring the structure of the reference's fused CUDA
+attention but tiled for MXU/VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dispatch import interpret_mode, use_pallas
+
+DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+LANES = 128
+
+
+class SegmentIds(NamedTuple):
+    q: jnp.ndarray  # (B, Sq) int32
+    kv: jnp.ndarray  # (B, Skv) int32
+
+
+# ============================================================ XLA reference
+def attention_xla(
+    q, k, v, *, bias=None, causal=False, segment_ids: Optional[SegmentIds] = None,
+    scale: Optional[float] = None, dropout_rate: float = 0.0, dropout_rng=None,
+    mask_value: float = DEFAULT_MASK_VALUE,
+):
+    """Math attention. q: (B,Sq,Hq,D), k/v: (B,Skv,Hkv,D). Returns (B,Sq,Hq,D)."""
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    scale = (d ** -0.5) if scale is None else scale
+    if hkv != hq:
+        rep = hq // hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    mask = None
+    if causal:
+        mask = jnp.tril(jnp.ones((sq, skv), dtype=bool), k=skv - sq)[None, None]
+    if segment_ids is not None:
+        seg = (segment_ids.q[:, :, None] == segment_ids.kv[:, None, :])[:, None]
+        mask = seg if mask is None else (mask & seg)
+    if mask is not None:
+        logits = jnp.where(mask, logits, mask_value)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return out.astype(q.dtype)
+
+
+# ============================================================ Pallas forward
+def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, scale, causal, block_q, block_k,
+                num_kv, has_segments, mask_value):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    should_run = True
+    if causal:
+        should_run = (qi + 1) * block_q - 1 >= ki * block_k
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0].astype(jnp.float32)  # (block_q, d)
+        kt = k_ref[0, 0].astype(jnp.float32)  # (block_k, d)
+        s = jax.lax.dot_general(
+            q, kt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (block_q, block_k)
+
+        if causal or has_segments:
+            mask = jnp.full(s.shape, True)
+            if causal:
+                rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+                cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+                mask = mask & (cols <= rows)
+            if has_segments:
+                qs = qseg_ref[0, 0]  # (block_q,)
+                ks = kseg_ref[0, 0]  # (block_k,)
+                mask = mask & (qs[:, None] == ks[None, :])
+            s = jnp.where(mask, s, mask_value)
+
+        m_prev = m_scr[...]  # (block_q, LANES)
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1)[:, None]  # (block_q, 1)
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])  # (block_q, 1)
+        p = jnp.exp(s - m_next[:, :1])
+        l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=1)[:, None]
+        m_scr[...] = m_next
+        l_scr[...] = jnp.broadcast_to(l_next, l_prev.shape)
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+            p.astype(v_ref.dtype), v_ref[0, 0], preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ki == num_kv - 1)
+    def _store():
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        m = m_scr[:, :1]
+        lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _flash_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value):
+    """q: (B,Hq,Sq,D), k/v: (B,Hkv,Skv,D) -> o, lse(B,Hq,Sq,LANES fp32)."""
+    b, hq, sq, d = q.shape
+    _, hkv, skv, _ = k.shape
+    g = hq // hkv
+    nq, nk = sq // block_q, skv // block_k
+    has_segments = segment_ids is not None
+    if has_segments:
+        qseg = segment_ids.q.astype(jnp.int32)[:, None, :]
+        kseg = segment_ids.kv.astype(jnp.int32)[:, None, :]
+    else:
+        qseg = jnp.zeros((b, 1, sq), jnp.int32)
+        kseg = jnp.zeros((b, 1, skv), jnp.int32)
+
+    grid = (b, hq, nq, nk)
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+        num_kv=nk, has_segments=has_segments, mask_value=mask_value,
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, sq, LANES), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bb, h, qi, ki: (bb, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bb, h, qi, ki: (bb, h // g, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bb, h, qi, ki: (bb, h // g, ki, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bb, h, qi, ki: (bb, 0, qi)),
+            pl.BlockSpec((1, 1, block_k), lambda bb, h, qi, ki: (bb, 0, ki)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, d), lambda bb, h, qi, ki: (bb, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, LANES), lambda bb, h, qi, ki: (bb, h, qi, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret_mode(),
+    )(q, k.reshape(b, hkv, skv, d), v.reshape(b, hkv, skv, d), qseg, kseg)
+    return o, lse
+
+
+# ============================================================ Pallas backward
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref,
+                    di_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, scale, causal,
+                    block_q, block_k, num_q, has_segments, mask_value):
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    should_run = True
+    if causal:
+        should_run = (qi + 1) * block_q - 1 >= ki * block_k
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0].astype(jnp.float32)   # (bq, d)
+        kk = k_ref[0, 0].astype(jnp.float32)  # (bk, d)
+        vv = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)  # (bq, d)
+        lse = lse_ref[0, 0][:, :1]            # (bq, 1)
+        di = di_ref[0, 0][:, :1]              # (bq, 1)
+
+        s = jax.lax.dot_general(q, kk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale  # (bq, bk)
+        if causal or has_segments:
+            mask = jnp.full(s.shape, True)
+            if causal:
+                rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+                cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+                mask = mask & (cols <= rows)
+            if has_segments:
+                mask = mask & (qseg_ref[0, 0][:, None] == kseg_ref[0, 0][None, :])
+            s = jnp.where(mask, s, mask_value)
+        p = jnp.exp(s - lse)  # (bq, bk)
+        # dv += p^T do
+        dv_scr[...] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+        # dp = do v^T ; ds = p * (dp - di) * scale
+        dp = jax.lax.dot_general(do, vv, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - di) * scale
+        dk_scr[...] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+
+    @pl.when(qi == num_q - 1)
+    def _store():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref,
+                   di_ref, dq_ref, dq_scr, *, scale, causal, block_q, block_k,
+                   num_kv, has_segments, mask_value):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    should_run = True
+    if causal:
+        should_run = (qi + 1) * block_q - 1 >= ki * block_k
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0].astype(jnp.float32)
+        kk = k_ref[0, 0].astype(jnp.float32)
+        vv = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, :1]
+        di = di_ref[0, 0][:, :1]
+        s = jax.lax.dot_general(q, kk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if causal or has_segments:
+            mask = jnp.full(s.shape, True)
+            if causal:
+                rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+                cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+                mask = mask & (cols <= rows)
+            if has_segments:
+                mask = mask & (qseg_ref[0, 0][:, None] == kseg_ref[0, 0][None, :])
+            s = jnp.where(mask, s, mask_value)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(do, vv, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - di) * scale
+        dq_scr[...] += jax.lax.dot(ds, kk, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == num_kv - 1)
+    def _store():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _flash_bwd(q, k, v, segment_ids, scale, causal, block_q, block_k,
+               mask_value, o, lse, do):
+    b, hq, sq, d = q.shape
+    _, hkv, skv, _ = k.shape
+    g = hq // hkv
+    nq, nk = sq // block_q, skv // block_k
+    has_segments = segment_ids is not None
+    if has_segments:
+        qseg = segment_ids.q.astype(jnp.int32)[:, None, :]
+        kseg = segment_ids.kv.astype(jnp.int32)[:, None, :]
+    else:
+        qseg = jnp.zeros((b, 1, sq), jnp.int32)
+        kseg = jnp.zeros((b, 1, skv), jnp.int32)
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # (B,H,Sq)
+    di = jnp.broadcast_to(di[..., None], (*di.shape, LANES))
+
+    common = dict(scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+                  has_segments=has_segments, mask_value=mask_value)
+    # dk/dv: grid over kv tiles; q is the reduction dim. kv-head-major so that
+    # GQA groups accumulate into distinct (expanded) dk blocks, reduced after.
+    dk_exp, dv_exp = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, num_q=nq, **common),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hq, skv, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hq, skv, d), jnp.float32),
+        ),
+        grid=(b, hq, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bb, h, ki, qi: (bb, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bb, h, ki, qi: (bb, h // g, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bb, h, ki, qi: (bb, h // g, ki, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bb, h, ki, qi: (bb, 0, qi)),
+            pl.BlockSpec((1, 1, block_k), lambda bb, h, ki, qi: (bb, 0, ki)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bb, h, ki, qi: (bb, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, LANES), lambda bb, h, ki, qi: (bb, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, LANES), lambda bb, h, ki, qi: (bb, h, qi, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_k, d), lambda bb, h, ki, qi: (bb, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bb, h, ki, qi: (bb, h, ki, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret_mode(),
+    )(q, k, v, qseg, kseg, do, lse, di)
+    if g > 1:
+        dk = dk_exp.reshape(b, hkv, g, skv, d).sum(axis=2)
+        dv = dv_exp.reshape(b, hkv, g, skv, d).sum(axis=2)
+    else:
+        dk, dv = dk_exp, dv_exp
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, num_kv=nk, **common),
+        out_shape=jax.ShapeDtypeStruct((b, hq, sq, d), jnp.float32),
+        grid=(b, hq, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bb, h, qi, ki: (bb, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bb, h, qi, ki: (bb, h // g, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bb, h, qi, ki: (bb, h // g, ki, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bb, h, qi, ki: (bb, 0, qi)),
+            pl.BlockSpec((1, 1, block_k), lambda bb, h, qi, ki: (bb, 0, ki)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bb, h, qi, ki: (bb, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, LANES), lambda bb, h, qi, ki: (bb, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, LANES), lambda bb, h, qi, ki: (bb, h, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bb, h, qi, ki: (bb, h, qi, 0)),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret_mode(),
+    )(q, k, v, qseg, kseg, do, lse, di)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+# custom_vjp over (q, k, v, segment_ids); static: scale/causal/blocks
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_attention(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value):
+    o, _ = _flash_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value)
+    return o
+
+
+def _flash_attention_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value):
+    o, lse = _flash_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value)
+    return o, (q, k, v, segment_ids, o, lse)
+
+
+def _flash_attention_bwd(scale, causal, block_q, block_k, mask_value, res, do):
+    q, k, v, segment_ids, o, lse = res
+    dq, dk, dv = _flash_bwd(q, k, v, segment_ids, scale, causal, block_q, block_k,
+                            mask_value, o, lse, do)
+    return dq, dk, dv, None
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+# ============================================================ public API
+def _pad_to(x, axis, multiple):
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x, size
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths), size
+
+
+def flash_attention(
+    q, k, v, *, causal=False, segment_ids: Optional[SegmentIds] = None,
+    scale: Optional[float] = None, block_q: int = 256, block_k: int = 256,
+    mask_value: float = DEFAULT_MASK_VALUE,
+):
+    """Flash attention, (B, S, H, D) layout. Pads seq/head_dim as needed."""
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    scale = (d ** -0.5) if scale is None else scale
+    block_q = min(block_q, max(128, sq))
+    block_k = min(block_k, max(128, skv))
+
+    # (B,S,H,D) -> (B,H,S,D)
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+
+    # pad head_dim to a lane multiple
+    qt, _ = _pad_to(qt, 3, LANES)
+    kt, _ = _pad_to(kt, 3, LANES)
+    vt, _ = _pad_to(vt, 3, LANES)
+
+    # pad sequences to block multiples; padded kv masked via segment ids
+    need_kv_pad = skv % block_k != 0
+    if need_kv_pad or segment_ids is not None:
+        if segment_ids is None:
+            seg_q = jnp.ones((b, sq), jnp.int32)
+            seg_kv = jnp.ones((b, skv), jnp.int32)
+        else:
+            seg_q, seg_kv = segment_ids.q, segment_ids.kv
+        seg_q, _ = _pad_to(seg_q.astype(jnp.int32) + 1, 1, block_q)
+        seg_kv, _ = _pad_to(seg_kv.astype(jnp.int32) + 1, 1, block_k)
+        segment_ids = SegmentIds(seg_q, seg_kv)
+    qt, _ = _pad_to(qt, 2, block_q)
+    kt, _ = _pad_to(kt, 2, block_k)
+    vt, _ = _pad_to(vt, 2, block_k)
+
+    o = _flash_attention(qt, kt, vt, segment_ids, scale, causal, block_q, block_k, mask_value)
+    o = o[:, :, :sq, :d]
+    return jnp.swapaxes(o, 1, 2)
+
+
+def scaled_dot_product_attention(
+    q, k, v, *, bias=None, causal=False, segment_ids: Optional[SegmentIds] = None,
+    scale: Optional[float] = None, dropout_rate: float = 0.0, dropout_rng=None,
+    impl: Optional[str] = None,
+):
+    """Backend-dispatched SDPA, (B, S, H, D) layout.
+
+    impl: None (auto) | "flash" | "math". Auto picks the Pallas flash kernel on
+    TPU when there is no additive bias/dropout and kv_len >= 128."""
+    if impl is None:
+        flashable = (
+            use_pallas() and bias is None and dropout_rate == 0.0
+            and k.shape[1] >= 128 and q.shape[3] <= 256
+        )
+        impl = "flash" if flashable else "math"
+    if impl == "flash":
+        return flash_attention(q, k, v, causal=causal, segment_ids=segment_ids, scale=scale)
+    return attention_xla(
+        q, k, v, bias=bias, causal=causal, segment_ids=segment_ids, scale=scale,
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+    )

@@ -1,0 +1,194 @@
+"""Kernel-layer tests: Pallas (interpret mode) vs XLA reference, values + grads.
+
+Mirrors the reference's native-op grad-check strategy
+(groundingdino/csrc/test_ms_deformable_attn_op.py: CUDA op vs python ref)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import paddlemix_tpu.ops as ops
+from paddlemix_tpu.ops.attention import SegmentIds, attention_xla, flash_attention
+from paddlemix_tpu.ops.norms import (
+    adaptive_layer_norm_xla,
+    fused_adaln_scale_residual_xla,
+    layer_norm_xla,
+    rms_norm_xla,
+)
+from paddlemix_tpu.ops.quant import quantize_weights_int8, wint8_matmul, wint8_matmul_xla
+
+
+@pytest.fixture(autouse=True)
+def pallas_interpret(monkeypatch):
+    monkeypatch.setenv("PMIX_KERNEL_BACKEND", "pallas")
+    monkeypatch.setenv("PMIX_PALLAS_INTERPRET", "1")
+
+
+def rand(*shape, key=0, dtype=jnp.float32):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, dtype=dtype)
+
+
+# ------------------------------------------------------------------ norms
+def test_rms_norm_matches_xla_and_grads():
+    x = rand(4, 64, 256)
+    w = rand(256, key=1) * 0.1 + 1.0
+    y_p = ops.rms_norm(x, w)
+    y_x = rms_norm_xla(x, w)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), atol=1e-5)
+
+    def loss_p(x, w):
+        return jnp.sum(ops.rms_norm(x, w) ** 2)
+
+    def loss_x(x, w):
+        return jnp.sum(rms_norm_xla(x, w) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(x, w)
+    gx = jax.grad(loss_x, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gx[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]), atol=1e-3)
+
+
+def test_layer_norm_matches_xla_and_grads():
+    x = rand(8, 128)
+    w = rand(128, key=1) * 0.1 + 1.0
+    b = rand(128, key=2) * 0.1
+    y_p = ops.layer_norm(x, w, b)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(layer_norm_xla(x, w, b)), atol=1e-5)
+
+    gp = jax.grad(lambda x, w, b: jnp.sum(ops.layer_norm(x, w, b) ** 2), argnums=(0, 1, 2))(x, w, b)
+    gx = jax.grad(lambda x, w, b: jnp.sum(layer_norm_xla(x, w, b) ** 2), argnums=(0, 1, 2))(x, w, b)
+    for a, bq in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bq), atol=1e-4)
+
+
+def test_adaln_and_fused_residual():
+    x = rand(2, 16, 128)
+    scale = rand(2, 128, key=1) * 0.1
+    shift = rand(2, 128, key=2) * 0.1
+    y = ops.adaptive_layer_norm(x, scale, shift)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(adaptive_layer_norm_xla(x, scale, shift)), atol=1e-5
+    )
+    gate = rand(2, 128, key=3) * 0.1
+    resi = rand(2, 16, 128, key=4)
+    y2, resi_out = ops.fused_adaln_scale_residual(resi, x, gate, scale, shift)
+    y2_ref, resi_ref = fused_adaln_scale_residual_xla(resi, x, gate, scale, shift)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y2_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(resi_out), np.asarray(resi_ref), atol=1e-6)
+    # grads flow (XLA-recompute bwd)
+    g = jax.grad(lambda x: jnp.sum(ops.adaptive_layer_norm(x, scale, shift) ** 2))(x)
+    g_ref = jax.grad(lambda x: jnp.sum(adaptive_layer_norm_xla(x, scale, shift) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
+
+
+# ------------------------------------------------------------------ attention
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attention_matches_math(causal):
+    b, s, h, d = 1, 256, 2, 128
+    q, k, v = rand(b, s, h, d), rand(b, s, h, d, key=1), rand(b, s, h, d, key=2)
+    o_f = flash_attention(q, k, v, causal=causal, block_q=128, block_k=128)
+    o_m = attention_xla(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_m), atol=2e-5)
+
+
+def test_flash_attention_gqa():
+    b, s, d = 1, 256, 128
+    q = rand(b, s, 4, d)
+    k, v = rand(b, s, 2, d, key=1), rand(b, s, 2, d, key=2)
+    o_f = flash_attention(q, k, v, causal=True, block_q=128, block_k=128)
+    o_m = attention_xla(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_m), atol=2e-5)
+
+
+def test_flash_attention_segments_and_padding():
+    b, s, h, d = 1, 200, 2, 64  # odd seq -> padding; d=64 -> lane pad
+    q, k, v = rand(b, s, h, d), rand(b, s, h, d, key=1), rand(b, s, h, d, key=2)
+    seg = jnp.concatenate([jnp.zeros((b, 100), jnp.int32), jnp.ones((b, 100), jnp.int32)], axis=1)
+    ids = SegmentIds(seg, seg)
+    o_f = flash_attention(q, k, v, segment_ids=ids, block_q=128, block_k=128)
+    o_m = attention_xla(q, k, v, segment_ids=ids)
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_m), atol=2e-5)
+
+
+def test_flash_attention_grads():
+    b, s, h, d = 1, 256, 2, 128
+    q, k, v = rand(b, s, h, d), rand(b, s, h, d, key=1), rand(b, s, h, d, key=2)
+
+    def loss_f(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True, block_q=128, block_k=128) ** 2)
+
+    def loss_m(q, k, v):
+        return jnp.sum(attention_xla(q, k, v, causal=True) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    gm = jax.grad(loss_m, argnums=(0, 1, 2))(q, k, v)
+    for a, bq, name in zip(gf, gm, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bq), atol=5e-4, err_msg=f"d{name}")
+
+
+def test_flash_attention_gqa_grads():
+    b, s, d = 1, 128, 128
+    q = rand(b, s, 4, d)
+    k, v = rand(b, s, 2, d, key=1), rand(b, s, 2, d, key=2)
+    gf = jax.grad(lambda k: jnp.sum(flash_attention(q, k, v, block_q=128, block_k=128) ** 2))(k)
+    gm = jax.grad(lambda k: jnp.sum(attention_xla(q, k, v) ** 2))(k)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gm), atol=5e-4)
+
+
+def test_sdpa_dispatch_math_path():
+    # bias forces math path
+    b, s, h, d = 1, 32, 2, 16
+    q, k, v = rand(b, s, h, d), rand(b, s, h, d, key=1), rand(b, s, h, d, key=2)
+    bias = rand(b, h, s, s, key=3)
+    out = ops.scaled_dot_product_attention(q, k, v, bias=bias)
+    assert out.shape == q.shape
+
+
+# ------------------------------------------------------------------ rope
+def test_rope_roundtrip():
+    b, s, h, d = 2, 16, 2, 64
+    q, k = rand(b, s, h, d), rand(b, s, h, d, key=1)
+    pos = jnp.broadcast_to(jnp.arange(s), (b, s))
+    cos, sin = ops.rope_cos_sin(pos, d)
+    q1, k1 = ops.apply_rope(q, k, cos, sin)
+    assert q1.shape == q.shape
+    # rotation preserves norms pairwise
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(q1**2, axis=-1)), np.asarray(jnp.sum(q**2, axis=-1)), rtol=1e-5
+    )
+    # position 0 is identity
+    np.testing.assert_allclose(np.asarray(q1[:, 0]), np.asarray(q[:, 0]), atol=1e-6)
+
+
+def test_mrope_sections():
+    d = 64
+    sections = (8, 12, 12)  # sums to 32 = d//2
+    pos = jnp.zeros((3, 2, 10), jnp.int32)
+    cos, sin = ops.mrope_cos_sin(pos, d, sections)
+    assert cos.shape == (2, 10, d)
+    np.testing.assert_allclose(np.asarray(cos), 1.0)
+
+
+# ------------------------------------------------------------------ quant
+def test_wint8_matmul():
+    x = rand(16, 256)
+    w = rand(256, 384, key=1) * 0.05
+    wq, scale = quantize_weights_int8(w)
+    y_ref = jnp.dot(x, w)
+    y_x = wint8_matmul_xla(x, wq, scale)
+    y_p = wint8_matmul(x, wq, scale, block_m=8, block_n=128, block_k=128)
+    # quantization error bounded, pallas matches xla dequant closely
+    assert float(jnp.max(jnp.abs(y_x - y_ref))) < 0.15
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), atol=2e-2)
+
+
+def test_activations_registry():
+    x = rand(4, 8)
+    for name in ("gelu", "quick_gelu", "silu", "relu", "mish"):
+        y = ops.get_activation(name)(x)
+        assert y.shape == x.shape
+    with pytest.raises(KeyError):
+        ops.get_activation("nope")
