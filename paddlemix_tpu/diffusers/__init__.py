@@ -1,0 +1,23 @@
+"""ppdiffusers-equivalent generation suite, TPU-native.
+
+Maps to the reference's ppdiffusers/ppdiffusers (models, schedulers,
+pipelines, image processor); see per-module docstrings for file:line parity
+citations."""
+
+from .image_processor import VaeImageProcessor
+from .models import (
+    AutoencoderKL,
+    AutoencoderKLConfig,
+    UNet2DConditionConfig,
+    UNet2DConditionModel,
+)
+from .pipelines import DiffusionPipeline, StableDiffusionPipeline, StableDiffusionXLPipeline
+from .schedulers import (
+    DDIMScheduler,
+    DDPMScheduler,
+    DPMSolverMultistepScheduler,
+    EulerAncestralDiscreteScheduler,
+    EulerDiscreteScheduler,
+    FlowMatchEulerDiscreteScheduler,
+    LCMScheduler,
+)

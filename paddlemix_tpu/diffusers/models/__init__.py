@@ -1,0 +1,9 @@
+from .autoencoder_kl import AutoencoderKL, AutoencoderKLConfig, DiagonalGaussian
+from .embeddings import (
+    PatchEmbed2D,
+    TimestepEmbedding,
+    Timesteps,
+    get_2d_sincos_pos_embed,
+    get_timestep_embedding,
+)
+from .unet_2d_condition import UNet2DConditionConfig, UNet2DConditionModel

@@ -1,0 +1,149 @@
+"""UNet transformer blocks (reference
+ppdiffusers/ppdiffusers/models/attention.py BasicTransformerBlock +
+attention_processor.py Attention; transformer_2d.py Transformer2DModel).
+
+The reference dispatches among attention-processor objects (math / cutlass /
+flash, attention_processor.py:2146); here everything routes through
+ops.scaled_dot_product_attention so the Pallas flash kernel kicks in on TPU.
+Param names track the torch layout (to_q/to_k/to_v/to_out, ff.net.0/2)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops import scaled_dot_product_attention
+from ...ops.activations import gelu_tanh
+
+
+class CrossAttention(nn.Module):
+    """diffusers-style Attention: to_q/to_k/to_v (no bias) + to_out."""
+
+    num_heads: int
+    head_dim: int
+    cross_dim: Optional[int] = None
+    out_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, context=None):
+        inner = self.num_heads * self.head_dim
+        context = hidden if context is None else context
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(hidden)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        b, sq = q.shape[:2]
+        sk = k.shape[1]
+        out = scaled_dot_product_attention(
+            q.reshape(b, sq, self.num_heads, self.head_dim),
+            k.reshape(b, sk, self.num_heads, self.head_dim),
+            v.reshape(b, sk, self.num_heads, self.head_dim),
+        ).reshape(b, sq, inner)
+        return nn.Dense(hidden.shape[-1], use_bias=self.out_bias, dtype=self.dtype,
+                        name="to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    """ff.net.0 (GEGLU proj) -> ff.net.2 (out proj), diffusers naming."""
+
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        inner = d * self.mult
+
+        class _GEGLU(nn.Module):
+            dtype: jnp.dtype = jnp.float32
+
+            @nn.compact
+            def __call__(self, x):
+                hg = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
+                h, gate = jnp.split(hg, 2, axis=-1)
+                return h * gelu_tanh(gate)
+
+        h = _GEGLU(dtype=self.dtype, name="net_0")(x)
+        return nn.Dense(d, dtype=self.dtype, name="net_2")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    num_heads: int
+    head_dim: int
+    only_cross_attention: bool = False
+    use_cross_attention: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, context=None):
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(hidden)
+        hidden = hidden + CrossAttention(
+            self.num_heads, self.head_dim, dtype=self.dtype, name="attn1"
+        )(h, context if self.only_cross_attention else None)
+        if self.use_cross_attention:
+            h = nn.LayerNorm(dtype=self.dtype, name="norm2")(hidden)
+            hidden = hidden + CrossAttention(
+                self.num_heads, self.head_dim, dtype=self.dtype, name="attn2"
+            )(h, context)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(hidden)
+        hidden = hidden + GEGLUFeedForward(dtype=self.dtype, name="ff")(h)
+        return hidden
+
+
+class Transformer2DModel(nn.Module):
+    """Spatial transformer over NHWC features (proj_in -> blocks -> proj_out)."""
+
+    num_heads: int
+    head_dim: int
+    num_layers: int = 1
+    use_linear_projection: bool = False
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        b, h, w, c = x.shape
+        residual = x
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        if self.use_linear_projection:
+            x = x.reshape(b, h * w, c)
+            x = nn.Dense(self.num_heads * self.head_dim, dtype=self.dtype, name="proj_in")(x)
+        else:
+            x = nn.Conv(self.num_heads * self.head_dim, (1, 1), dtype=self.dtype, name="proj_in")(x)
+            x = x.reshape(b, h * w, self.num_heads * self.head_dim)
+        for i in range(self.num_layers):
+            x = BasicTransformerBlock(self.num_heads, self.head_dim, dtype=self.dtype,
+                                      name=f"transformer_blocks_{i}")(x, context)
+        if self.use_linear_projection:
+            x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+            x = x.reshape(b, h, w, c)
+        else:
+            x = x.reshape(b, h, w, self.num_heads * self.head_dim)
+            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        return x + residual
+
+
+class AttentionBlock2D(nn.Module):
+    """VAE mid-block self-attention over NHWC (diffusers Attention w/
+    group_norm, to_q/k/v/to_out)."""
+
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        residual = x
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
+                         name="group_norm")(x)
+        x = x.reshape(b, h * w, c)
+        q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(c, dtype=self.dtype, name="to_v")(x)
+        out = scaled_dot_product_attention(
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
+        )[:, :, 0, :]
+        out = nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+        return out.reshape(b, h, w, c) + residual

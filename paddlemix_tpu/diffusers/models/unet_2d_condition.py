@@ -1,0 +1,291 @@
+"""UNet2DConditionModel (SD1.5 / SD2 / SDXL), TPU-native NHWC.
+
+Rebuild of the reference's conditional UNet
+(ppdiffusers/ppdiffusers/models/unet_2d_condition.py, 1207 LoC +
+unet_2d_blocks.py): same config surface as diffusers so real SD/SDXL
+checkpoints load directly; layout is NHWC and attention rides the Pallas
+flash kernel. Param names mirror torch keys modulo `.N.` -> `_N.` so key
+conversion stays a regex rename."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...core.config import BaseConfig
+from ...core.modeling import PretrainedModel
+from .attention import Transformer2DModel
+from .embeddings import TimestepEmbedding, Timesteps
+from .resnet import Downsample2D, ResnetBlock2D, Upsample2D
+
+
+@dataclasses.dataclass
+class UNet2DConditionConfig(BaseConfig):
+    model_type = "unet_2d_condition"
+    sample_size: int = 64
+    in_channels: int = 4
+    out_channels: int = 4
+    down_block_types: Tuple[str, ...] = (
+        "CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "DownBlock2D")
+    up_block_types: Tuple[str, ...] = (
+        "UpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D")
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: Union[int, Tuple[int, ...]] = 768
+    attention_head_dim: Union[int, Tuple[int, ...]] = 8
+    num_attention_heads: Optional[Union[int, Tuple[int, ...]]] = None
+    transformer_layers_per_block: Union[int, Tuple[int, ...]] = 1
+    use_linear_projection: bool = False
+    norm_num_groups: int = 32
+    flip_sin_to_cos: bool = True
+    freq_shift: int = 0
+    addition_embed_type: Optional[str] = None  # "text_time" for SDXL
+    addition_time_embed_dim: Optional[int] = None
+    projection_class_embeddings_input_dim: Optional[int] = None
+    center_input_sample: bool = False
+
+    def _per_block(self, v):
+        n = len(self.block_out_channels)
+        return tuple(v) if isinstance(v, (list, tuple)) else (v,) * n
+
+    @property
+    def heads_per_block(self):
+        # diffusers quirk: attention_head_dim historically stored num heads
+        if self.num_attention_heads is not None:
+            return self._per_block(self.num_attention_heads)
+        return self._per_block(self.attention_head_dim)
+
+    @property
+    def tf_layers_per_block(self):
+        return self._per_block(self.transformer_layers_per_block)
+
+
+class CrossAttnDownBlock2D(nn.Module):
+    out_channels: int
+    num_layers: int
+    num_heads: int
+    tf_layers: int
+    use_linear_projection: bool
+    add_downsample: bool = True
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, context):
+        outputs = []
+        head_dim = self.out_channels // self.num_heads
+        for i in range(self.num_layers):
+            x = ResnetBlock2D(self.out_channels, groups=self.groups, dtype=self.dtype,
+                              name=f"resnets_{i}")(x, temb)
+            x = Transformer2DModel(self.num_heads, head_dim, num_layers=self.tf_layers,
+                                   use_linear_projection=self.use_linear_projection,
+                                   groups=self.groups, dtype=self.dtype,
+                                   name=f"attentions_{i}")(x, context)
+            outputs.append(x)
+        if self.add_downsample:
+            x = Downsample2D(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
+            outputs.append(x)
+        return x, outputs
+
+
+class DownBlock2D(nn.Module):
+    out_channels: int
+    num_layers: int
+    add_downsample: bool = True
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        outputs = []
+        for i in range(self.num_layers):
+            x = ResnetBlock2D(self.out_channels, groups=self.groups, dtype=self.dtype,
+                              name=f"resnets_{i}")(x, temb)
+            outputs.append(x)
+        if self.add_downsample:
+            x = Downsample2D(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
+            outputs.append(x)
+        return x, outputs
+
+
+class UNetMidBlock2DCrossAttn(nn.Module):
+    channels: int
+    num_heads: int
+    tf_layers: int
+    use_linear_projection: bool
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, context):
+        head_dim = self.channels // self.num_heads
+        x = ResnetBlock2D(self.channels, groups=self.groups, dtype=self.dtype,
+                          name="resnets_0")(x, temb)
+        x = Transformer2DModel(self.num_heads, head_dim, num_layers=self.tf_layers,
+                               use_linear_projection=self.use_linear_projection,
+                               groups=self.groups, dtype=self.dtype,
+                               name="attentions_0")(x, context)
+        x = ResnetBlock2D(self.channels, groups=self.groups, dtype=self.dtype,
+                          name="resnets_1")(x, temb)
+        return x
+
+
+class CrossAttnUpBlock2D(nn.Module):
+    out_channels: int
+    num_layers: int
+    num_heads: int
+    tf_layers: int
+    use_linear_projection: bool
+    add_upsample: bool = True
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skips, temb, context):
+        head_dim = self.out_channels // self.num_heads
+        for i in range(self.num_layers):
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = ResnetBlock2D(self.out_channels, groups=self.groups, dtype=self.dtype,
+                              name=f"resnets_{i}")(x, temb)
+            x = Transformer2DModel(self.num_heads, head_dim, num_layers=self.tf_layers,
+                                   use_linear_projection=self.use_linear_projection,
+                                   groups=self.groups, dtype=self.dtype,
+                                   name=f"attentions_{i}")(x, context)
+        if self.add_upsample:
+            x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
+        return x
+
+
+class UpBlock2D(nn.Module):
+    out_channels: int
+    num_layers: int
+    add_upsample: bool = True
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skips, temb):
+        for i in range(self.num_layers):
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = ResnetBlock2D(self.out_channels, groups=self.groups, dtype=self.dtype,
+                              name=f"resnets_{i}")(x, temb)
+        if self.add_upsample:
+            x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
+        return x
+
+
+class UNet2DConditionModule(nn.Module):
+    config: UNet2DConditionConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample, timestep, encoder_hidden_states,
+                 added_cond_kwargs=None, class_labels=None):
+        cfg = self.config
+        groups = cfg.norm_num_groups
+        if cfg.center_input_sample:
+            sample = 2.0 * sample - 1.0
+        if jnp.ndim(timestep) == 0:
+            timestep = jnp.broadcast_to(timestep, (sample.shape[0],))
+
+        # time embedding
+        time_embed_dim = cfg.block_out_channels[0] * 4
+        t_emb = Timesteps(cfg.block_out_channels[0], cfg.flip_sin_to_cos, cfg.freq_shift)(timestep)
+        emb = TimestepEmbedding(time_embed_dim, dtype=self.dtype,
+                                name="time_embedding")(t_emb.astype(self.dtype))
+
+        # SDXL micro-conditioning (text_embeds + time_ids)
+        if cfg.addition_embed_type == "text_time":
+            text_embeds = added_cond_kwargs["text_embeds"]
+            time_ids = added_cond_kwargs["time_ids"]
+            time_embeds = Timesteps(cfg.addition_time_embed_dim, cfg.flip_sin_to_cos,
+                                    cfg.freq_shift)(time_ids.reshape(-1))
+            time_embeds = time_embeds.reshape(text_embeds.shape[0], -1)
+            add_embeds = jnp.concatenate([text_embeds, time_embeds], axis=-1)
+            emb = emb + TimestepEmbedding(time_embed_dim, dtype=self.dtype,
+                                          name="add_embedding")(add_embeds.astype(self.dtype))
+
+        sample = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=((1, 1), (1, 1)),
+                         dtype=self.dtype, name="conv_in")(sample)
+
+        heads = cfg.heads_per_block
+        tf_layers = cfg.tf_layers_per_block
+        skips = [sample]
+        for i, block_type in enumerate(cfg.down_block_types):
+            ch = cfg.block_out_channels[i]
+            last = i == len(cfg.down_block_types) - 1
+            if block_type == "CrossAttnDownBlock2D":
+                sample, outs = CrossAttnDownBlock2D(
+                    ch, cfg.layers_per_block, heads[i], tf_layers[i],
+                    cfg.use_linear_projection, add_downsample=not last, groups=groups,
+                    dtype=self.dtype, name=f"down_blocks_{i}")(sample, emb, encoder_hidden_states)
+            else:
+                sample, outs = DownBlock2D(ch, cfg.layers_per_block, add_downsample=not last,
+                                           groups=groups, dtype=self.dtype,
+                                           name=f"down_blocks_{i}")(sample, emb)
+            skips.extend(outs)
+
+        sample = UNetMidBlock2DCrossAttn(
+            cfg.block_out_channels[-1], heads[-1], tf_layers[-1],
+            cfg.use_linear_projection, groups=groups, dtype=self.dtype,
+            name="mid_block")(sample, emb, encoder_hidden_states)
+
+        for i, block_type in enumerate(cfg.up_block_types):
+            rev = list(reversed(cfg.block_out_channels))
+            ch = rev[i]
+            j = len(cfg.block_out_channels) - 1 - i  # matching down index
+            last = i == len(cfg.up_block_types) - 1
+            n_layers = cfg.layers_per_block + 1
+            block_skips = [skips.pop() for _ in range(n_layers)][::-1]
+            block_skips = list(block_skips)
+            if block_type == "CrossAttnUpBlock2D":
+                sample = CrossAttnUpBlock2D(
+                    ch, n_layers, heads[j], tf_layers[j], cfg.use_linear_projection,
+                    add_upsample=not last, groups=groups, dtype=self.dtype,
+                    name=f"up_blocks_{i}")(sample, block_skips, emb, encoder_hidden_states)
+            else:
+                sample = UpBlock2D(ch, n_layers, add_upsample=not last, groups=groups,
+                                   dtype=self.dtype, name=f"up_blocks_{i}")(sample, block_skips, emb)
+
+        sample = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=self.dtype,
+                              name="conv_norm_out")(sample)
+        sample = nn.silu(sample)
+        sample = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                         dtype=self.dtype, name="conv_out")(sample)
+        return sample
+
+
+_UNET_KEY_MAP = (
+    (r"\.to_out\.0\.", r".to_out."),
+    (r"\.net\.0\.", r".net_0."),
+    (r"\.net\.2\.", r".net_2."),
+    (r"\.(\d+)\.", r"_\1."),
+    (r"(^|\.)((conv_)?norm[^.]*|group_norm)\.weight$", r"\1\2.scale"),
+    (r"\.weight$", r".kernel"),
+)
+
+
+class UNet2DConditionModel(PretrainedModel):
+    config_class = UNet2DConditionConfig
+    module_class = UNet2DConditionModule
+    torch_key_map = _UNET_KEY_MAP
+
+    @classmethod
+    def example_inputs(cls, config):
+        s = min(config.sample_size, 16)  # init shapes don't bind spatial dims
+        ctx_dim = config.cross_attention_dim if isinstance(config.cross_attention_dim, int) \
+            else config.cross_attention_dim[0]
+        kwargs = {}
+        if config.addition_embed_type == "text_time":
+            # projection_class_embeddings_input_dim = text_embed_dim + 6*addition_time_embed_dim
+            text_dim = config.projection_class_embeddings_input_dim - 6 * config.addition_time_embed_dim
+            kwargs["added_cond_kwargs"] = {
+                "text_embeds": jnp.zeros((1, text_dim)),
+                "time_ids": jnp.zeros((1, 6)),
+            }
+        return (jnp.zeros((1, s, s, config.in_channels)), jnp.asarray(0),
+                jnp.zeros((1, 8, ctx_dim))), kwargs

@@ -3,6 +3,7 @@ from .modeling import (
     CLIPModel,
     CLIPModule,
     CLIPTextModel,
+    CLIPTextModelWithProjection,
     CLIPTextTransformer,
     CLIPVisionTransformer,
     clip_contrastive_loss,

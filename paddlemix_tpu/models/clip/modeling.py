@@ -52,7 +52,7 @@ class CLIPVisionTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, pixel_values, deterministic=True):
+    def __call__(self, pixel_values, deterministic=True, output_hidden_states=False):
         cfg = self.config
         n_patches = (cfg.image_size // cfg.patch_size) ** 2
         x = PatchEmbed(cfg.patch_size, cfg.hidden_size, use_bias=False,
@@ -64,6 +64,7 @@ class CLIPVisionTransformer(nn.Module):
                          (n_patches + 1, cfg.hidden_size))
         x = x + pos[None].astype(x.dtype)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="pre_layernorm")(x)
+        hidden_states = [x]
         for i in range(cfg.num_hidden_layers):
             x = EncoderBlock(
                 num_heads=cfg.num_attention_heads,
@@ -73,8 +74,11 @@ class CLIPVisionTransformer(nn.Module):
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )(x, deterministic=deterministic)
+            hidden_states.append(x)
         pooled = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                               name="post_layernorm")(x[:, 0])
+        if output_hidden_states:
+            return x, pooled, tuple(hidden_states)
         return x, pooled
 
 
@@ -83,13 +87,14 @@ class CLIPTextTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids, deterministic=True):
+    def __call__(self, input_ids, deterministic=True, output_hidden_states=False):
         cfg = self.config
         x = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
                      name="token_embedding")(input_ids)
         pos = self.param("position_embedding", nn.initializers.normal(0.02),
                          (cfg.max_position_embeddings, cfg.hidden_size))
         x = x + pos[None, : x.shape[1]].astype(x.dtype)
+        hidden_states = [x]
         # CLIP text tower is causal (reference ppdiffusers/transformers/clip)
         for i in range(cfg.num_hidden_layers):
             x = EncoderBlock(
@@ -100,10 +105,13 @@ class CLIPTextTransformer(nn.Module):
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )(x, causal=True, deterministic=deterministic)
+            hidden_states.append(x)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="final_layer_norm")(x)
         # pool at eos: highest-id token (HF convention: argmax of eos matches)
         eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1)
         pooled = x[jnp.arange(x.shape[0]), eos_pos]
+        if output_hidden_states:
+            return x, pooled, tuple(hidden_states)
         return x, pooled
 
 
@@ -174,8 +182,9 @@ class CLIPTextModel(PretrainedModel):
         def setup(self):
             self.text_model = CLIPTextTransformer(self.config, dtype=self.dtype)
 
-        def __call__(self, input_ids, deterministic=True):
-            return self.text_model(input_ids, deterministic=deterministic)
+        def __call__(self, input_ids, deterministic=True, output_hidden_states=False):
+            return self.text_model(input_ids, deterministic=deterministic,
+                                   output_hidden_states=output_hidden_states)
 
     module_class = _Module
 
@@ -191,6 +200,46 @@ class CLIPTextModel(PretrainedModel):
             ("text_model." + k if not k.startswith("text_model.") else k): v
             for k, v in flat.items()
             if not k.startswith("text_projection")
+        }
+        return convert_torch_state_dict(flat, _CLIP_KEY_MAP)
+
+
+class CLIPTextModelWithProjection(PretrainedModel):
+    """Text tower + projection head (SDXL's second text encoder)."""
+
+    config_class = CLIPTextConfig
+    torch_key_map = _CLIP_KEY_MAP
+
+    class _Module(nn.Module):
+        config: CLIPTextConfig
+        dtype: jnp.dtype = jnp.float32
+
+        def setup(self):
+            self.text_model = CLIPTextTransformer(self.config, dtype=self.dtype)
+            self.text_projection = nn.Dense(self.config.projection_dim, use_bias=False,
+                                            dtype=self.dtype)
+
+        def __call__(self, input_ids, deterministic=True, output_hidden_states=False):
+            out = self.text_model(input_ids, deterministic=deterministic,
+                                  output_hidden_states=output_hidden_states)
+            pooled = self.text_projection(out[1])
+            if output_hidden_states:
+                return out[0], pooled, out[2]
+            return out[0], pooled
+
+    module_class = _Module
+
+    @classmethod
+    def example_inputs(cls, config):
+        return (jnp.zeros((1, 4), jnp.int32),), {}
+
+    @classmethod
+    def convert_foreign_state_dict(cls, flat, config):
+        from ...core.modeling import convert_torch_state_dict
+
+        flat = {
+            (k if k.startswith(("text_model.", "text_projection")) else "text_model." + k): v
+            for k, v in flat.items()
         }
         return convert_torch_state_dict(flat, _CLIP_KEY_MAP)
 

@@ -89,7 +89,28 @@ class CLIPTokenizer:
         with opener(merges_path, "rt") as f:
             lines = f.read().split("\n")
         merges = [tuple(l.split()) for l in lines if l and not l.startswith("#") and len(l.split()) == 2]
+        cfg_path = resolve_file(path, "tokenizer_config.json", subfolder=subfolder, required=False)
+        if cfg_path is not None:
+            with open(cfg_path) as f:
+                cfg = json.load(f)
+            for k in ("model_max_length", "bos_token", "eos_token", "pad_token"):
+                if k in cfg and k not in kwargs and isinstance(cfg[k], (int, str)):
+                    kwargs[k] = cfg[k]
         return cls(vocab, merges, **kwargs)
+
+    def save_pretrained(self, path: str):
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "vocab.json"), "w") as f:
+            json.dump(self.encoder, f)
+        with open(os.path.join(path, "tokenizer_config.json"), "w") as f:
+            json.dump({"model_max_length": self.model_max_length,
+                       "bos_token": self.bos_token, "eos_token": self.eos_token,
+                       "pad_token": self.pad_token}, f)
+        merges = sorted(self.bpe_ranks.items(), key=lambda kv: kv[1])
+        with open(os.path.join(path, "merges.txt"), "w") as f:
+            f.write("#version: 0.2\n")
+            for (a, b), _ in merges:
+                f.write(f"{a} {b}\n")
 
     def bpe(self, token: str) -> str:
         if token in self.cache:

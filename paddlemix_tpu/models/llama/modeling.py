@@ -1,0 +1,286 @@
+"""Llama/Qwen2 decoder, TPU-native: flash-attention prefill + static KV-cache
+decode, all under jit.
+
+Replaces the reference's L0 dependency on PaddleNLP LLM backbones and
+paddlenlp_ops fused decode kernels (SURVEY.md §2.4 item 6; deploy/llava uses
+blocked KV cache + fused rope/rmsnorm CUDA ops). TPU design:
+ - prefill: Pallas flash attention (causal + segment ids for packing/padding)
+ - decode: TPU-resident static cache (B, L, kv_heads, head_dim) updated via
+   scatter at per-sample positions; attention masked by per-sample lengths
+ - rope/rmsnorm via the ops layer (Pallas-fused on TPU)
+ - generation: one jitted lax.while_loop (greedy/temperature/top-k/top-p)
+
+HF Llama/Qwen2 torch checkpoints load via the regex key map."""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...core.modeling import PretrainedModel
+from ...ops import apply_rope, rms_norm, rope_cos_sin, scaled_dot_product_attention
+from ...ops.attention import SegmentIds, attention_xla
+from .configuration import LlamaConfig
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # (num_layers, B, L, kv_heads, head_dim)
+    v: jnp.ndarray
+    lengths: jnp.ndarray  # (B,) int32 — tokens written per sample
+
+    @classmethod
+    def create(cls, config: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+        shape = (config.num_hidden_layers, batch, max_len + 1, config.kv_heads, config.head_dim_)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                   jnp.zeros((batch,), jnp.int32))
+
+    @property
+    def max_len(self):
+        return self.k.shape[2] - 1
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        return rms_norm(x, scale.astype(jnp.float32), self.eps).astype(self.dtype)
+
+
+class LlamaAttention(nn.Module):
+    config: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, positions, *, segment_ids=None,
+                 cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                 cache_lengths: Optional[jnp.ndarray] = None):
+        cfg = self.config
+        b, s, _ = x.shape
+        hd = cfg.head_dim_
+        bias = cfg.attention_bias
+        q = nn.Dense(cfg.num_attention_heads * hd, use_bias=bias, dtype=self.dtype,
+                     name="q_proj")(x).reshape(b, s, cfg.num_attention_heads, hd)
+        k = nn.Dense(cfg.kv_heads * hd, use_bias=bias, dtype=self.dtype,
+                     name="k_proj")(x).reshape(b, s, cfg.kv_heads, hd)
+        v = nn.Dense(cfg.kv_heads * hd, use_bias=bias, dtype=self.dtype,
+                     name="v_proj")(x).reshape(b, s, cfg.kv_heads, hd)
+
+        cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)
+        q, k = apply_rope(q, k, cos, sin)
+
+        new_cache = None
+        if cache_kv is not None:
+            k_cache, v_cache = cache_kv  # (B, L, kvh, hd)
+            L = k_cache.shape[1]
+            write_idx = jnp.where(positions >= 0, jnp.minimum(positions, L - 1), L - 1)
+            bidx = jnp.arange(b)[:, None]
+            k_cache = k_cache.at[bidx, write_idx].set(k.astype(k_cache.dtype))
+            v_cache = v_cache.at[bidx, write_idx].set(v.astype(v_cache.dtype))
+            new_cache = (k_cache, v_cache)
+            # attend over the cache: key j visible iff j <= q_position and j < length+written
+            key_pos = jnp.arange(L)[None, None, None, :]  # (1,1,1,L)
+            q_pos = positions[:, None, :, None]           # (B,1,S,1)
+            mask = key_pos <= q_pos
+            attn_bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
+            out = attention_xla(q, k_cache[:, :L - 1], v_cache[:, :L - 1],
+                                bias=attn_bias[..., : L - 1])
+        else:
+            out = scaled_dot_product_attention(q, k, v, causal=True, segment_ids=segment_ids)
+        out = out.reshape(b, s, cfg.num_attention_heads * hd)
+        out = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype, name="o_proj")(out)
+        return out, new_cache
+
+
+class LlamaMLP(nn.Module):
+    config: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        gate = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=self.dtype, name="gate_proj")(x)
+        up = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=self.dtype, name="up_proj")(x)
+        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                        name="down_proj")(nn.silu(gate) * up)
+
+
+class LlamaDecoderLayer(nn.Module):
+    config: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, positions, *, segment_ids=None, cache_kv=None, cache_lengths=None):
+        cfg = self.config
+        h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="input_layernorm")(x)
+        attn_out, new_cache = LlamaAttention(cfg, dtype=self.dtype, name="self_attn")(
+            h, positions, segment_ids=segment_ids, cache_kv=cache_kv,
+            cache_lengths=cache_lengths)
+        x = x + attn_out
+        h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="post_attention_layernorm")(x)
+        x = x + LlamaMLP(cfg, dtype=self.dtype, name="mlp")(h)
+        return x, new_cache
+
+
+class LlamaModule(nn.Module):
+    config: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+    with_lm_head: bool = True
+
+    def setup(self):
+        cfg = self.config
+        self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype)
+        self.layers = [LlamaDecoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")
+                       for i in range(cfg.num_hidden_layers)]
+        self.norm = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype)
+        if self.with_lm_head and not cfg.tie_word_embeddings:
+            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False, dtype=self.dtype)
+
+    def embed(self, input_ids):
+        return self.embed_tokens(input_ids)
+
+    def __call__(self, input_ids=None, positions=None, *, inputs_embeds=None,
+                 segment_ids=None, cache: Optional[KVCache] = None,
+                 return_hidden: bool = False):
+        cfg = self.config
+        x = self.embed_tokens(input_ids) if inputs_embeds is None else inputs_embeds
+        b, s = x.shape[:2]
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+
+        new_caches_k, new_caches_v = [], []
+        for i, layer in enumerate(self.layers):
+            layer_cache = None if cache is None else (cache.k[i], cache.v[i])
+            x, new_cache = layer(x, positions, segment_ids=segment_ids, cache_kv=layer_cache,
+                                 cache_lengths=None if cache is None else cache.lengths)
+            if new_cache is not None:
+                new_caches_k.append(new_cache[0])
+                new_caches_v.append(new_cache[1])
+        x = self.norm(x)
+
+        out_cache = None
+        if cache is not None:
+            valid = (positions >= 0).sum(axis=-1).astype(jnp.int32)
+            out_cache = KVCache(jnp.stack(new_caches_k), jnp.stack(new_caches_v),
+                                cache.lengths + valid)
+        hidden = x
+        if not self.with_lm_head:
+            return hidden, out_cache
+        if cfg.tie_word_embeddings:
+            logits = self.embed_tokens.attend(x.astype(self.dtype))
+        else:
+            logits = self.lm_head(x)
+        if return_hidden:
+            return logits, hidden, out_cache
+        return logits, out_cache
+
+
+_LLAMA_KEY_MAP = (
+    (r"^model\.", r""),
+    (r"embed_tokens\.weight$", r"embed_tokens.embedding"),
+    (r"\.layers\.(\d+)\.", r".layers_\1."),
+    (r"^layers\.(\d+)\.", r"layers_\1."),
+    (r"(layernorm|norm)\.weight$", r"\1.scale"),
+    (r"\.weight$", r".kernel"),
+)
+
+
+class LlamaForCausalLM(PretrainedModel):
+    config_class = LlamaConfig
+    module_class = LlamaModule
+    torch_key_map = _LLAMA_KEY_MAP
+
+    @classmethod
+    def example_inputs(cls, config):
+        return (jnp.zeros((1, 4), jnp.int32),), {}
+
+    def init_cache(self, batch: int, max_len: int, dtype=None):
+        return KVCache.create(self.config, batch, max_len,
+                              dtype=dtype or self.dtype)
+
+
+class SamplingConfig(NamedTuple):
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: float = 1.0
+    do_sample: bool = False
+
+
+def sample_token(logits, key, cfg: SamplingConfig):
+    """logits: (B, V) -> (B,) int32."""
+    if not cfg.do_sample:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / jnp.maximum(cfg.temperature, 1e-6)
+    if cfg.top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -cfg.top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if cfg.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < cfg.top_p, axis=-1)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def greedy_generate(model: LlamaForCausalLM, input_ids, attention_mask=None,
+                    max_new_tokens: int = 32, eos_token_id: Optional[int] = None,
+                    sampling: SamplingConfig = SamplingConfig(), seed: int = 0,
+                    inputs_embeds=None):
+    """Jit-compiled prefill + while_loop decode. input_ids right-padded (B, S)."""
+    params = model.params
+    module = model.module
+    eos = eos_token_id if eos_token_id is not None else model.config.eos_token_id
+    b, s = input_ids.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, s), jnp.int32)
+    max_len = s + max_new_tokens
+
+    @jax.jit
+    def run(params, input_ids, attention_mask, key, inputs_embeds=None):
+        cache = model.init_cache(b, max_len)
+        positions = jnp.cumsum(attention_mask, axis=-1) - 1
+        positions = jnp.where(attention_mask > 0, positions, -1)
+        seg = SegmentIds(attention_mask, attention_mask)
+        logits, cache = module.apply({"params": params}, input_ids, positions,
+                                     segment_ids=seg, cache=cache,
+                                     inputs_embeds=inputs_embeds)
+        lengths = attention_mask.sum(axis=-1).astype(jnp.int32)
+        last_logits = logits[jnp.arange(b), lengths - 1]
+        key, sub = jax.random.split(key)
+        next_tok = sample_token(last_logits.astype(jnp.float32), sub, sampling)
+
+        tokens = jnp.zeros((b, max_new_tokens), jnp.int32)
+        tokens = tokens.at[:, 0].set(next_tok)
+        done = next_tok == eos
+
+        def cond(carry):
+            step, _, _, done, _ = carry
+            return (step < max_new_tokens - 1) & ~jnp.all(done)
+
+        def body(carry):
+            step, tokens, cache, done, key = carry
+            cur = tokens[:, step][:, None]
+            pos = cache.lengths[:, None]
+            logits, cache = module.apply({"params": params}, cur, pos, cache=cache)
+            key, sub = jax.random.split(key)
+            nxt = sample_token(logits[:, -1].astype(jnp.float32), sub, sampling)
+            nxt = jnp.where(done, eos, nxt)
+            tokens = tokens.at[:, step + 1].set(nxt)
+            done = done | (nxt == eos)
+            return step + 1, tokens, cache, done, key
+
+        _, tokens, _, _, _ = jax.lax.while_loop(cond, body, (0, tokens, cache, done, key))
+        return tokens
+
+    return run(params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
+               jax.random.PRNGKey(seed), inputs_embeds=inputs_embeds)

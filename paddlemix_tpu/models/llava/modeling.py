@@ -1,0 +1,212 @@
+"""LLaVA (1.5/1.6-style): CLIP tower + mm_projector + Llama, TPU-native.
+
+Rebuild of the reference LLaVA family (paddlemix/models/llava/):
+ - token splice `prepare_inputs_labels_for_multimodal` (base_model.py:136) is
+   re-designed static-shape: the prompt carries image_token_index placeholders
+   (one per vision patch) and a scatter-by-cumsum swaps in projected vision
+   features — no dynamic concat, so the whole forward jits.
+ - mm_projector mlp2x_gelu -> MMProjector.
+ - LlavaCriterion masked LM loss (llava/modeling.py:190-237) -> llava_loss
+   (ParallelCrossEntropy + sep-group gather collapse into one masked
+   cross-entropy under pjit on TPU).
+
+HF llava-hf torch checkpoints load via convert_foreign_state_dict."""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...core.config import BaseConfig
+from ...core.modeling import PretrainedModel, convert_torch_state_dict
+from ..clip.configuration import CLIPVisionConfig
+from ..clip.modeling import CLIPVisionTransformer
+from ..llama.configuration import LlamaConfig
+from ..llama.modeling import KVCache, LlamaModule, greedy_generate
+
+
+@dataclasses.dataclass
+class LlavaConfig(BaseConfig):
+    model_type = "llava"
+    vision_config: Optional[Dict[str, Any]] = None
+    text_config: Optional[Dict[str, Any]] = None
+    image_token_index: int = 32000
+    mm_vision_select_layer: int = -2
+    mm_vision_select_feature: str = "patch"  # drop CLS
+    mm_projector_type: str = "mlp2x_gelu"
+    ignore_index: int = -100
+
+    def __post_init__(self):
+        self.vision_config = self.vision_config or {}
+        self.text_config = self.text_config or {}
+
+    @property
+    def vision(self) -> CLIPVisionConfig:
+        return CLIPVisionConfig.from_dict(self.vision_config)
+
+    @property
+    def text(self) -> LlamaConfig:
+        return LlamaConfig.from_dict(self.text_config)
+
+    @property
+    def num_image_tokens(self) -> int:
+        v = self.vision
+        n = (v.image_size // v.patch_size) ** 2
+        return n if self.mm_vision_select_feature == "patch" else n + 1
+
+
+class MMProjector(nn.Module):
+    out_dim: int
+    projector_type: str = "mlp2x_gelu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.projector_type == "linear":
+            return nn.Dense(self.out_dim, dtype=self.dtype, name="linear_0")(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="linear_0")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="linear_1")(x)
+
+
+class LlavaModule(nn.Module):
+    config: LlavaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.vision_tower = CLIPVisionTransformer(self.config.vision, dtype=self.dtype)
+        self.multi_modal_projector = MMProjector(self.config.text.hidden_size,
+                                                 self.config.mm_projector_type,
+                                                 dtype=self.dtype)
+        self.language_model = LlamaModule(self.config.text, dtype=self.dtype)
+
+    def encode_images(self, pixel_values):
+        """(B, H, W, 3) -> (B, num_image_tokens, text_hidden)."""
+        _, _, hiddens = self.vision_tower(pixel_values, output_hidden_states=True)
+        feats = hiddens[self.config.mm_vision_select_layer]
+        if self.config.mm_vision_select_feature == "patch":
+            feats = feats[:, 1:]
+        return self.multi_modal_projector(feats)
+
+    def splice_image_features(self, input_ids, image_features):
+        """Static-shape swap of image placeholder tokens for vision features."""
+        token_embeds = self.language_model.embed(input_ids)
+        is_img = input_ids == self.config.image_token_index
+        feat_idx = jnp.clip(jnp.cumsum(is_img.astype(jnp.int32), axis=-1) - 1, 0,
+                            image_features.shape[1] - 1)
+        gathered = jnp.take_along_axis(image_features, feat_idx[:, :, None], axis=1)
+        return jnp.where(is_img[:, :, None], gathered.astype(token_embeds.dtype), token_embeds)
+
+    def __call__(self, input_ids, pixel_values=None, positions=None, *,
+                 segment_ids=None, cache: Optional[KVCache] = None):
+        if pixel_values is not None:
+            image_features = self.encode_images(pixel_values)
+            inputs_embeds = self.splice_image_features(input_ids, image_features)
+        else:
+            inputs_embeds = None
+        return self.language_model(input_ids, positions, inputs_embeds=inputs_embeds,
+                                   segment_ids=segment_ids, cache=cache)
+
+
+class LlavaForConditionalGeneration(PretrainedModel):
+    config_class = LlavaConfig
+    module_class = LlavaModule
+
+    @classmethod
+    def example_inputs(cls, config):
+        v = config.vision
+        s = config.num_image_tokens + 4
+        ids = jnp.full((1, s), 5, jnp.int32)
+        ids = ids.at[:, 1: 1 + config.num_image_tokens].set(config.image_token_index)
+        return (ids, jnp.zeros((1, v.image_size, v.image_size, 3))), {}
+
+    @classmethod
+    def convert_foreign_state_dict(cls, flat, config):
+        """Structural renames first (keeping torch .weight suffixes so the
+        layout transpose still applies), then the shared torch->flax pass."""
+        renamed = {}
+        for k, v in flat.items():
+            nk = k
+            # llava-hf prefixes
+            nk = re.sub(r"^language_model\.model\.", "language_model.", nk)
+            nk = re.sub(r"^vision_tower\.vision_model\.", "vision_tower.", nk)
+            # legacy llava prefixes ("model.layers", "model.mm_projector")
+            nk = re.sub(r"^model\.mm_projector\.0\.", "multi_modal_projector.linear_0.", nk)
+            nk = re.sub(r"^model\.mm_projector\.2\.", "multi_modal_projector.linear_1.", nk)
+            nk = re.sub(r"^model\.", "language_model.", nk)
+            nk = re.sub(r"^lm_head\.", "language_model.lm_head.", nk)
+            nk = re.sub(r"^multi_modal_projector\.linear_1\.",
+                        "multi_modal_projector.linear_0.", nk)
+            nk = re.sub(r"^multi_modal_projector\.linear_2\.",
+                        "multi_modal_projector.linear_1.", nk)
+            # vision tower internals (CLIP): encoder.layers -> layers_N, self_attn -> attn
+            if nk.startswith("vision_tower."):
+                nk = re.sub(r"\.encoder\.layers\.(\d+)\.", r".layers_\1.", nk)
+                nk = re.sub(r"\.self_attn\.", r".attn.", nk)
+                nk = re.sub(r"\.layer_norm1\.", r".norm1.", nk)
+                nk = re.sub(r"\.layer_norm2\.", r".norm2.", nk)
+                nk = re.sub(r"\.pre_layrnorm\.", r".pre_layernorm.", nk)
+                nk = re.sub(r"\.embeddings\.patch_embedding\.", r".patch_embed.proj.", nk)
+                nk = re.sub(r"\.embeddings\.class_embedding$", r".class_embedding", nk)
+                nk = re.sub(r"\.embeddings\.position_embedding\.weight$",
+                            r".position_embedding", nk)
+            else:
+                nk = re.sub(r"\.layers\.(\d+)\.", r".layers_\1.", nk)
+                nk = re.sub(r"embed_tokens\.weight$", "embed_tokens.embedding", nk)
+            renamed[nk] = v
+        return convert_torch_state_dict(
+            renamed,
+            ((r"(layernorm|norm[0-9]?|norm)\.weight$", r"\1.scale"),
+             (r"\.weight$", r".kernel")),
+        )
+
+    def init_cache(self, batch: int, max_len: int, dtype=None):
+        return KVCache.create(self.config.text, batch, max_len, dtype=dtype or self.dtype)
+
+    def encode_images(self, pixel_values):
+        return self.module.apply({"params": self.params}, pixel_values,
+                                 method=self.module.encode_images)
+
+    def generate(self, input_ids, pixel_values=None, attention_mask=None,
+                 max_new_tokens: int = 32, **kwargs):
+        """Greedy/sampled generation with the image spliced into the prefill."""
+        inputs_embeds = None
+        if pixel_values is not None:
+            feats = self.encode_images(pixel_values)
+            inputs_embeds = self.module.apply(
+                {"params": self.params}, jnp.asarray(input_ids), feats,
+                method=self.module.splice_image_features)
+        lm = _LlamaView(self)
+        return greedy_generate(lm, input_ids, attention_mask,
+                               max_new_tokens=max_new_tokens,
+                               inputs_embeds=inputs_embeds, **kwargs)
+
+
+class _LlamaView:
+    """Adapter presenting the inner language model with the surface
+    greedy_generate expects (config/params/module/init_cache)."""
+
+    def __init__(self, llava: LlavaForConditionalGeneration):
+        self.config = llava.config.text
+        self.params = llava.params["language_model"]
+        self.module = LlamaModule(self.config, dtype=llava.dtype)
+        self.dtype = llava.dtype
+
+    def init_cache(self, batch, max_len, dtype=None):
+        return KVCache.create(self.config, batch, max_len, dtype=dtype or self.dtype)
+
+
+def llava_loss(logits, labels, ignore_index: int = -100):
+    """Shifted masked LM loss (reference LlavaCriterion modeling.py:190-237)."""
+    logits = logits[:, :-1].astype(jnp.float32)
+    labels = labels[:, 1:]
+    mask = labels != ignore_index
+    safe = jnp.where(mask, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[:, :, None], axis=-1)[:, :, 0]
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
