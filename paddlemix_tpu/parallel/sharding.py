@@ -69,7 +69,8 @@ def make_shardings(params: Any, mesh: Mesh, rules: Rules = TRANSFORMER_RULES) ->
     flat = traverse_util.flatten_dict(unfreeze(params))
     out = {}
     for kpath, leaf in flat.items():
-        path = ".".join(kpath)
+        path = ".".join(
+            ".".join(p) if isinstance(p, tuple) else str(p) for p in kpath)
         spec = _fit_spec(spec_for_path(path, rules), tuple(leaf.shape), mesh)
         out[kpath] = NamedSharding(mesh, spec)
     return traverse_util.unflatten_dict(out)
