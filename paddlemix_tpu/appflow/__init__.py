@@ -1,0 +1,1 @@
+from .appflow import APPLICATIONS, Appflow, AppTask, register_task

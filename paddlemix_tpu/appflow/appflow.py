@@ -1,0 +1,138 @@
+"""Appflow: task-level pipelines with chaining.
+
+Rebuild of the reference Appflow (paddlemix/appflow/appflow.py:23-87 Appflow +
+task chaining :79-87, apptask.py:84-100 _construct_model/_preprocess/
+_run_model/_postprocess, configuration.py:30 APPLICATIONS registry)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+from ..utils.log import logger
+from ..utils.registry import Registry
+
+APPLICATIONS = Registry("applications")
+
+
+class AppTask:
+    """Base task: construct model lazily, then preprocess/run/postprocess."""
+
+    def __init__(self, task: str, model: Optional[str] = None, **kwargs):
+        self.task = task
+        self.model = model
+        self.kwargs = kwargs
+        self._constructed = False
+
+    def _construct(self):
+        raise NotImplementedError
+
+    def _preprocess(self, inputs: Dict[str, Any]) -> Dict[str, Any]:
+        return inputs
+
+    def _run_model(self, inputs: Dict[str, Any]) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def _postprocess(self, inputs: Dict[str, Any]) -> Dict[str, Any]:
+        return inputs
+
+    def __call__(self, inputs: Dict[str, Any]) -> Dict[str, Any]:
+        if not self._constructed:
+            self._construct()
+            self._constructed = True
+        return self._postprocess(self._run_model(self._preprocess(inputs)))
+
+
+def register_task(app: str, *task_names: str):
+    def deco(cls):
+        APPLICATIONS.add(app, {"task_class": cls, "tasks": list(task_names) or [app]})
+        return cls
+
+    return deco
+
+
+class Appflow:
+    """Reference appflow.py:35-87: one app = a chain of AppTasks."""
+
+    def __init__(self, app: str, models: Optional[List[str]] = None, **kwargs):
+        if app not in APPLICATIONS:
+            raise ValueError(f"unknown app {app!r}; known: {sorted(APPLICATIONS.keys())}")
+        entry = APPLICATIONS.get(app)
+        task_cls = entry["task_class"]
+        models = models or [None]
+        if isinstance(task_cls, list):
+            self.task_instances = [cls(task=app, model=m, **kwargs)
+                                   for cls, m in zip(task_cls, models)]
+        else:
+            self.task_instances = [task_cls(task=app, model=models[0], **kwargs)]
+        self.app = app
+
+    def __call__(self, **inputs) -> Dict[str, Any]:
+        results: Dict[str, Any] = dict(inputs)
+        for task in self.task_instances:
+            results = task(results)
+        return results
+
+
+# ------------------------------------------------------------------ tasks
+@register_task("text2image_generation")
+class Text2ImageTask(AppTask):
+    """Reference appflow/text2image_generation.py:38-49."""
+
+    def _construct(self):
+        from ..diffusers import DiffusionPipeline
+
+        if isinstance(self.model, str):
+            self.pipe = DiffusionPipeline.from_pretrained(self.model)
+        else:
+            self.pipe = self.model  # pre-built pipeline object
+
+    def _run_model(self, inputs):
+        prompt = inputs.pop("prompt")
+        images = self.pipe(prompt, **{k: v for k, v in inputs.items()
+                                      if k in ("height", "width", "num_inference_steps",
+                                               "guidance_scale", "negative_prompt", "seed")})[0]
+        return {"result": images}
+
+
+@register_task("image2text_generation")
+class Image2TextTask(AppTask):
+    """VQA/captioning over a VLM (reference appflow/image2text_generation.py)."""
+
+    def _construct(self):
+        from .helpers import load_vlm
+
+        self.bundle = load_vlm(self.model) if isinstance(self.model, str) else self.model
+
+    def _run_model(self, inputs):
+        out = self.bundle.answer(image=inputs.get("image"), prompt=inputs.get("prompt", ""))
+        return {"result": out}
+
+
+@register_task("zero_shot_classification")
+class ZeroShotClassificationTask(AppTask):
+    def _construct(self):
+        from ..models.clip import CLIPModel
+        from ..processors.clip_processing import CLIPProcessor
+
+        if isinstance(self.model, str):
+            self.clip = CLIPModel.from_pretrained(self.model)
+            self.processor = CLIPProcessor.from_pretrained(self.model)
+        else:
+            self.clip, self.processor = self.model
+
+    def _run_model(self, inputs):
+        import jax.numpy as jnp
+
+        image = inputs["image"]
+        candidates = inputs["candidate_labels"]
+        enc = self.processor(text=[f"a photo of a {c}" for c in candidates], images=[image])
+        img = self.clip.encode_image(jnp.asarray(enc["pixel_values"]))
+        txt = self.clip.encode_text(jnp.asarray(enc["input_ids"]))
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        import numpy as np
+
+        scores = np.asarray(img @ txt.T)[0]
+        order = np.argsort(-scores)
+        return {"result": [{"label": candidates[i], "score": float(scores[i])}
+                           for i in order]}

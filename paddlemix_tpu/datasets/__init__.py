@@ -1,0 +1,9 @@
+from .collator import DataLoader, pad_collate, stack_collate
+from .dataset import (
+    DATASETS,
+    ConcatDataset,
+    MapDataset,
+    WeightedConcatDataset,
+    load_dataset,
+)
+from .mixtoken import IGNORE_INDEX, MixTokenMapDataset, pack_samples

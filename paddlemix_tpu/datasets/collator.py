@@ -1,0 +1,77 @@
+"""Batch collators (reference paddlemix/datasets/collator.py:19-150 — per-model
+CLIP/EVA02/MiniGPT4/QwenVL/Visualglm/LLaVA/InternLMXComposer2/InternVL2
+collators collapse into a few generic ones here)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def stack_collate(batch: Sequence[Dict[str, Any]]) -> Dict[str, np.ndarray]:
+    """Stack same-shaped fields (CLIP/EVA02-style)."""
+    out: Dict[str, np.ndarray] = {}
+    for k in batch[0]:
+        vals = [np.asarray(s[k]) for s in batch]
+        out[k] = np.stack(vals)
+    return out
+
+
+def pad_collate(batch: Sequence[Dict[str, Any]], pad_token_id: int = 0,
+                ignore_index: int = -100,
+                pad_to_multiple_of: Optional[int] = 64) -> Dict[str, np.ndarray]:
+    """Right-pad variable-length token fields (LLaVA/QwenVL-style); pads
+    sequences to a bucket multiple so XLA sees few distinct shapes."""
+    out: Dict[str, np.ndarray] = {}
+    token_keys = [k for k in batch[0] if k in
+                  ("input_ids", "labels", "attention_mask", "positions", "segment_ids")]
+    max_len = max(len(np.asarray(s[token_keys[0]]).reshape(-1)) for s in batch)
+    if pad_to_multiple_of:
+        max_len = -(-max_len // pad_to_multiple_of) * pad_to_multiple_of
+    fills = {"input_ids": pad_token_id, "labels": ignore_index,
+             "attention_mask": 0, "positions": -1, "segment_ids": 0}
+    for k in batch[0]:
+        if k in token_keys:
+            rows = []
+            for s in batch:
+                v = np.asarray(s[k]).reshape(-1)
+                rows.append(np.pad(v, (0, max_len - len(v)), constant_values=fills[k]))
+            out[k] = np.stack(rows).astype(np.int32)
+        else:
+            out[k] = np.stack([np.asarray(s[k]) for s in batch])
+    if "attention_mask" not in out and "input_ids" in out:
+        out["attention_mask"] = (out["input_ids"] != pad_token_id).astype(np.int32)
+    return out
+
+
+class DataLoader:
+    """Minimal shuffling batcher over a MapDataset."""
+
+    def __init__(self, dataset, batch_size: int, collate_fn=stack_collate,
+                 shuffle: bool = False, seed: int = 0, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def __iter__(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self._epoch).shuffle(idx)
+            self._epoch += 1
+        for i in range(0, len(idx) - (self.batch_size - 1 if self.drop_last else 0),
+                       self.batch_size):
+            chunk = idx[i: i + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                break
+            yield self.collate_fn([self.dataset[j] for j in chunk])

@@ -8,10 +8,20 @@ from .image_processor import VaeImageProcessor
 from .models import (
     AutoencoderKL,
     AutoencoderKLConfig,
+    DiTConfig,
+    DiTModel,
+    SD3Transformer2DModel,
+    SD3TransformerConfig,
     UNet2DConditionConfig,
     UNet2DConditionModel,
 )
-from .pipelines import DiffusionPipeline, StableDiffusionPipeline, StableDiffusionXLPipeline
+from .pipelines import (
+    DiffusionPipeline,
+    DiTPipeline,
+    StableDiffusion3Pipeline,
+    StableDiffusionPipeline,
+    StableDiffusionXLPipeline,
+)
 from .schedulers import (
     DDIMScheduler,
     DDPMScheduler,

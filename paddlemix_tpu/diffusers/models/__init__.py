@@ -7,3 +7,5 @@ from .embeddings import (
     get_timestep_embedding,
 )
 from .unet_2d_condition import UNet2DConditionConfig, UNet2DConditionModel
+from .dit import DiTConfig, DiTModel
+from .transformer_sd3 import SD3Transformer2DModel, SD3TransformerConfig

@@ -4,3 +4,4 @@ from .pipeline_utils import (
     register_pipeline,
 )
 from .stable_diffusion import StableDiffusionPipeline, StableDiffusionXLPipeline
+from .stable_diffusion_3 import DiTPipeline, StableDiffusion3Pipeline

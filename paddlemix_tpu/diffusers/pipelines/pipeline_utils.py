@@ -40,6 +40,11 @@ _COMPONENT_CLASSES: Dict[str, str] = {
     "EulerAncestralDiscreteScheduler": "paddlemix_tpu.diffusers.schedulers:EulerAncestralDiscreteScheduler",
     "FlowMatchEulerDiscreteScheduler": "paddlemix_tpu.diffusers.schedulers:FlowMatchEulerDiscreteScheduler",
     "LCMScheduler": "paddlemix_tpu.diffusers.schedulers:LCMScheduler",
+    "SD3Transformer2DModel": "paddlemix_tpu.diffusers.models:SD3Transformer2DModel",
+    "DiTModel": "paddlemix_tpu.diffusers.models:DiTModel",
+    "Transformer2DModel": "paddlemix_tpu.diffusers.models:DiTModel",
+    "T5EncoderModel": "paddlemix_tpu.models.t5:T5EncoderModel",
+    "CLIPImageProcessor": "paddlemix_tpu.processors.clip_processing:CLIPImageProcessor",
 }
 
 

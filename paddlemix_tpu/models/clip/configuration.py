@@ -24,6 +24,9 @@ class CLIPVisionConfig(BaseConfig):
     hidden_act: str = "quick_gelu"
     layer_norm_eps: float = 1e-5
     projection_dim: int = 512
+    patch_bias: bool = False
+    use_pre_layernorm: bool = True
+    post_layernorm_full: bool = False  # Blip2: post-LN over all tokens
 
 
 @dataclasses.dataclass

@@ -55,7 +55,7 @@ class CLIPVisionTransformer(nn.Module):
     def __call__(self, pixel_values, deterministic=True, output_hidden_states=False):
         cfg = self.config
         n_patches = (cfg.image_size // cfg.patch_size) ** 2
-        x = PatchEmbed(cfg.patch_size, cfg.hidden_size, use_bias=False,
+        x = PatchEmbed(cfg.patch_size, cfg.hidden_size, use_bias=cfg.patch_bias,
                        dtype=self.dtype, name="patch_embed")(pixel_values)
         cls = self.param("class_embedding", nn.initializers.normal(0.02), (cfg.hidden_size,))
         cls = jnp.broadcast_to(cls, (x.shape[0], 1, cfg.hidden_size)).astype(x.dtype)
@@ -63,7 +63,9 @@ class CLIPVisionTransformer(nn.Module):
         pos = self.param("position_embedding", nn.initializers.normal(0.02),
                          (n_patches + 1, cfg.hidden_size))
         x = x + pos[None].astype(x.dtype)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="pre_layernorm")(x)
+        if cfg.use_pre_layernorm:
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                             name="pre_layernorm")(x)
         hidden_states = [x]
         for i in range(cfg.num_hidden_layers):
             x = EncoderBlock(
@@ -75,8 +77,13 @@ class CLIPVisionTransformer(nn.Module):
                 name=f"layers_{i}",
             )(x, deterministic=deterministic)
             hidden_states.append(x)
-        pooled = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                              name="post_layernorm")(x[:, 0])
+        post_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                               name="post_layernorm")
+        if cfg.post_layernorm_full:
+            x = post_ln(x)
+            pooled = x[:, 0]
+        else:
+            pooled = post_ln(x[:, 0])
         if output_hidden_states:
             return x, pooled, tuple(hidden_states)
         return x, pooled

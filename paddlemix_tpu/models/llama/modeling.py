@@ -62,7 +62,7 @@ class LlamaAttention(nn.Module):
     @nn.compact
     def __call__(self, x, positions, *, segment_ids=None,
                  cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-                 cache_lengths: Optional[jnp.ndarray] = None):
+                 cache_lengths: Optional[jnp.ndarray] = None, rope_override=None):
         cfg = self.config
         b, s, _ = x.shape
         hd = cfg.head_dim_
@@ -74,7 +74,10 @@ class LlamaAttention(nn.Module):
         v = nn.Dense(cfg.kv_heads * hd, use_bias=bias, dtype=self.dtype,
                      name="v_proj")(x).reshape(b, s, cfg.kv_heads, hd)
 
-        cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)
+        if rope_override is not None:
+            cos, sin = rope_override  # e.g. Qwen2-VL M-RoPE (ops/rope.py)
+        else:
+            cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)
         q, k = apply_rope(q, k, cos, sin)
 
         new_cache = None
@@ -118,12 +121,13 @@ class LlamaDecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, positions, *, segment_ids=None, cache_kv=None, cache_lengths=None):
+    def __call__(self, x, positions, *, segment_ids=None, cache_kv=None, cache_lengths=None,
+                 rope_override=None):
         cfg = self.config
         h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="input_layernorm")(x)
         attn_out, new_cache = LlamaAttention(cfg, dtype=self.dtype, name="self_attn")(
             h, positions, segment_ids=segment_ids, cache_kv=cache_kv,
-            cache_lengths=cache_lengths)
+            cache_lengths=cache_lengths, rope_override=rope_override)
         x = x + attn_out
         h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="post_attention_layernorm")(x)
         x = x + LlamaMLP(cfg, dtype=self.dtype, name="mlp")(h)
@@ -149,7 +153,7 @@ class LlamaModule(nn.Module):
 
     def __call__(self, input_ids=None, positions=None, *, inputs_embeds=None,
                  segment_ids=None, cache: Optional[KVCache] = None,
-                 return_hidden: bool = False):
+                 return_hidden: bool = False, rope_override=None):
         cfg = self.config
         x = self.embed_tokens(input_ids) if inputs_embeds is None else inputs_embeds
         b, s = x.shape[:2]
@@ -160,7 +164,8 @@ class LlamaModule(nn.Module):
         for i, layer in enumerate(self.layers):
             layer_cache = None if cache is None else (cache.k[i], cache.v[i])
             x, new_cache = layer(x, positions, segment_ids=segment_ids, cache_kv=layer_cache,
-                                 cache_lengths=None if cache is None else cache.lengths)
+                                 cache_lengths=None if cache is None else cache.lengths,
+                                 rope_override=rope_override)
             if new_cache is not None:
                 new_caches_k.append(new_cache[0])
                 new_caches_v.append(new_cache[1])

@@ -1,0 +1,129 @@
+"""Data plane tests: dataset registry/sharding, MixToken packing equivalence,
+collators, InternVL tiling, auto classes."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from paddlemix_tpu.datasets import (
+    ConcatDataset,
+    DataLoader,
+    MapDataset,
+    MixTokenMapDataset,
+    WeightedConcatDataset,
+    pack_samples,
+    pad_collate,
+    stack_collate,
+)
+from paddlemix_tpu.processors import InternVLImageProcessor, dynamic_preprocess
+
+
+def test_map_dataset_ops():
+    ds = MapDataset(list(range(10)))
+    assert len(ds.shard(2, 0)) == 5
+    assert list(ds.shard(3, 0, contiguous=True)) == [0, 1, 2, 3]
+    assert list(ds.map(lambda x: x * 2))[:3] == [0, 2, 4]
+    assert len(ds.filter(lambda x: x % 2 == 0)) == 5
+    # lazy map
+    lazy = ds.map(lambda x: x + 100, lazy=True)
+    assert lazy[3] == 103
+    assert len(ConcatDataset([ds, ds])) == 20
+    w = WeightedConcatDataset([ds, ds], [0.9, 0.1], size=7)
+    assert len(w) == 7
+
+
+def test_mixtoken_packing():
+    samples = [{"input_ids": [1, 2, 3], "labels": [1, 2, 3]},
+               {"input_ids": [4, 5], "labels": [-100, 5]},
+               {"input_ids": [6, 7, 8, 9], "labels": [6, 7, 8, 9]}]
+    rows = pack_samples(samples, max_length=8, pad_token_id=0)
+    assert len(rows) == 2  # [3+2+pad? no: 3+2=5, +4 would exceed 8 -> flush]
+    r0 = rows[0]
+    np.testing.assert_array_equal(r0["input_ids"][:5], [1, 2, 3, 4, 5])
+    np.testing.assert_array_equal(r0["segment_ids"][:5], [1, 1, 1, 2, 2])
+    np.testing.assert_array_equal(r0["positions"][:5], [0, 1, 2, 0, 1])
+    assert r0["segment_ids"][6] == 0 and r0["positions"][7] == -1
+    ds = MixTokenMapDataset(samples, max_length=8)
+    assert len(ds) == 2
+
+
+def test_packed_rows_train_equivalence():
+    """A packed row through the LLM (segment ids + positions) gives the same
+    per-token logits as the unpacked samples — the 5.6x packing speedup
+    (reference CHANGELOG:11) with zero attention leakage."""
+    from paddlemix_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+    from paddlemix_tpu.ops.attention import SegmentIds
+
+    model = LlamaForCausalLM.from_config(LlamaConfig(
+        vocab_size=32, hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+        num_attention_heads=2, num_key_value_heads=2, max_position_embeddings=16))
+    rows = pack_samples([{"input_ids": [1, 2, 3]}, {"input_ids": [4, 5]}], max_length=8)
+    r = rows[0]
+    seg = SegmentIds(jnp.asarray(r["segment_ids"][None]), jnp.asarray(r["segment_ids"][None]))
+    packed_logits, _ = model(jnp.asarray(r["input_ids"][None]),
+                             jnp.asarray(r["positions"][None]), segment_ids=seg)
+    solo_a, _ = model(jnp.asarray([[1, 2, 3]], jnp.int32))
+    solo_b, _ = model(jnp.asarray([[4, 5]], jnp.int32))
+    np.testing.assert_allclose(np.asarray(packed_logits[0, :3]), np.asarray(solo_a[0]),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(packed_logits[0, 3:5]), np.asarray(solo_b[0]),
+                               atol=2e-4)
+
+
+def test_collators_and_dataloader():
+    ds = MapDataset([{"input_ids": list(range(i + 2)), "x": np.ones(3)} for i in range(7)])
+    dl = DataLoader(ds, batch_size=3, collate_fn=lambda b: pad_collate(b, pad_to_multiple_of=4),
+                    shuffle=True)
+    assert len(dl) == 2
+    batches = list(dl)
+    assert batches[0]["input_ids"].shape[0] == 3
+    assert batches[0]["input_ids"].shape[1] % 4 == 0
+    assert batches[0]["attention_mask"].sum() > 0
+    # shuffle differs per epoch but is seeded
+    b2 = list(dl)
+    assert len(b2) == 2
+
+
+def test_internvl_tiling():
+    img = (np.random.RandomState(0).rand(300, 600, 3) * 255).astype(np.uint8)
+    tiles = dynamic_preprocess(img, max_num=6, image_size=64)
+    # 2:1 aspect -> 2x1 or similar grid + thumbnail
+    assert len(tiles) >= 2
+    assert all(t.shape == (64, 64, 3) for t in tiles)
+    proc = InternVLImageProcessor(image_size=64, max_num=6, pad_to_tiles=7)
+    out = proc([img, img])
+    assert out["pixel_values"].shape == (2, 7, 64, 64, 3)
+    assert out["tile_mask"].shape == (2, 7)
+    assert int(out["num_tiles"][0]) == len(tiles)
+
+
+def test_auto_classes(tmp_path):
+    from paddlemix_tpu.auto import AutoConfig, AutoModel
+    from paddlemix_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+
+    model = LlamaForCausalLM.from_config(LlamaConfig(
+        vocab_size=32, hidden_size=16, intermediate_size=32, num_hidden_layers=1,
+        num_attention_heads=2, num_key_value_heads=2))
+    model.save_pretrained(str(tmp_path))
+    cfg = AutoConfig.from_pretrained(str(tmp_path))
+    assert isinstance(cfg, LlamaConfig)
+    model2 = AutoModel.from_pretrained(str(tmp_path))
+    assert isinstance(model2, LlamaForCausalLM)
+
+
+def test_datacopilot(tmp_path):
+    from paddlemix_tpu.datacopilot import MMDataset, ParallelMode
+
+    items = [{"image": f"im{i}.jpg", "conversations": []} for i in range(10)]
+    items.append({"broken": True})
+    ds = MMDataset(items)
+    clean = ds.sanitize()
+    assert len(clean) == 10
+    mapped = clean.map(lambda x: {**x, "n": 1}, mode=ParallelMode.THREAD)
+    assert mapped[0]["n"] == 1
+    assert len(clean.sample(3)) == 3
+    p = str(tmp_path / "out.jsonl")
+    mapped.export_jsonl(p)
+    again = MMDataset.from_auto(p)
+    assert len(again) == 10
+    assert len(clean + clean) == 20
