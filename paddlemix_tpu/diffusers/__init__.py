@@ -19,6 +19,8 @@ from .pipelines import (
     DiffusionPipeline,
     DiTPipeline,
     StableDiffusion3Pipeline,
+    StableDiffusionImg2ImgPipeline,
+    StableDiffusionInpaintPipeline,
     StableDiffusionPipeline,
     StableDiffusionXLPipeline,
 )

@@ -5,3 +5,7 @@ from .pipeline_utils import (
 )
 from .stable_diffusion import StableDiffusionPipeline, StableDiffusionXLPipeline
 from .stable_diffusion_3 import DiTPipeline, StableDiffusion3Pipeline
+from .stable_diffusion_img2img import (
+    StableDiffusionImg2ImgPipeline,
+    StableDiffusionInpaintPipeline,
+)

@@ -34,12 +34,14 @@ _COMPONENT_CLASSES: Dict[str, str] = {
     "UNet2DConditionModel": "paddlemix_tpu.diffusers.models:UNet2DConditionModel",
     "DDIMScheduler": "paddlemix_tpu.diffusers.schedulers:DDIMScheduler",
     "DDPMScheduler": "paddlemix_tpu.diffusers.schedulers:DDPMScheduler",
-    "PNDMScheduler": "paddlemix_tpu.diffusers.schedulers:DDIMScheduler",  # fallback solver
+    "PNDMScheduler": "paddlemix_tpu.diffusers.schedulers:PNDMScheduler",
     "DPMSolverMultistepScheduler": "paddlemix_tpu.diffusers.schedulers:DPMSolverMultistepScheduler",
     "EulerDiscreteScheduler": "paddlemix_tpu.diffusers.schedulers:EulerDiscreteScheduler",
     "EulerAncestralDiscreteScheduler": "paddlemix_tpu.diffusers.schedulers:EulerAncestralDiscreteScheduler",
     "FlowMatchEulerDiscreteScheduler": "paddlemix_tpu.diffusers.schedulers:FlowMatchEulerDiscreteScheduler",
     "LCMScheduler": "paddlemix_tpu.diffusers.schedulers:LCMScheduler",
+    "UniPCMultistepScheduler": "paddlemix_tpu.diffusers.schedulers:UniPCMultistepScheduler",
+    "HeunDiscreteScheduler": "paddlemix_tpu.diffusers.schedulers:HeunDiscreteScheduler",
     "SD3Transformer2DModel": "paddlemix_tpu.diffusers.models:SD3Transformer2DModel",
     "DiTModel": "paddlemix_tpu.diffusers.models:DiTModel",
     "Transformer2DModel": "paddlemix_tpu.diffusers.models:DiTModel",

@@ -15,7 +15,10 @@ from .scheduling_euler import (
     EulerState,
 )
 from .scheduling_flow_match import FlowMatchConfig, FlowMatchEulerDiscreteScheduler, FlowMatchState
+from .scheduling_heun import HeunConfig, HeunDiscreteScheduler, HeunState
 from .scheduling_lcm import LCMConfig, LCMScheduler, LCMState
+from .scheduling_pndm import PNDMConfig, PNDMScheduler, PNDMState
+from .scheduling_unipc import UniPCConfig, UniPCMultistepScheduler, UniPCState
 
 SCHEDULER_REGISTRY = {
     "DDIMScheduler": DDIMScheduler,
@@ -25,4 +28,7 @@ SCHEDULER_REGISTRY = {
     "EulerAncestralDiscreteScheduler": EulerAncestralDiscreteScheduler,
     "FlowMatchEulerDiscreteScheduler": FlowMatchEulerDiscreteScheduler,
     "LCMScheduler": LCMScheduler,
+    "HeunDiscreteScheduler": HeunDiscreteScheduler,
+    "PNDMScheduler": PNDMScheduler,
+    "UniPCMultistepScheduler": UniPCMultistepScheduler,
 }

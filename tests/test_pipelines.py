@@ -128,3 +128,28 @@ def test_sdxl_pipeline_end_to_end():
     images = pipe("a cat", height=32, width=32, num_inference_steps=2,
                   guidance_scale=5.0, output_type="np")[0]
     assert images.shape == (1, 32, 32, 3) and np.isfinite(images).all()
+
+
+def test_img2img_pipeline(sd_pipe):
+    from paddlemix_tpu.diffusers import StableDiffusionImg2ImgPipeline
+
+    pipe = StableDiffusionImg2ImgPipeline(
+        vae=sd_pipe.vae, text_encoder=sd_pipe.text_encoder, tokenizer=sd_pipe.tokenizer,
+        unet=sd_pipe.unet, scheduler=sd_pipe.scheduler)
+    img = (np.random.RandomState(0).rand(32, 32, 3) * 255).astype(np.uint8)
+    out = pipe("a cat", image=img, strength=0.6, num_inference_steps=4, output_type="np")[0]
+    assert out.shape == (1, 32, 32, 3) and np.isfinite(out).all()
+
+
+def test_inpaint_pipeline(sd_pipe):
+    from paddlemix_tpu.diffusers import StableDiffusionInpaintPipeline
+
+    pipe = StableDiffusionInpaintPipeline(
+        vae=sd_pipe.vae, text_encoder=sd_pipe.text_encoder, tokenizer=sd_pipe.tokenizer,
+        unet=sd_pipe.unet, scheduler=sd_pipe.scheduler)
+    img = (np.random.RandomState(0).rand(32, 32, 3) * 255).astype(np.uint8)
+    mask = np.zeros((32, 32), np.uint8)
+    mask[8:24, 8:24] = 255
+    out = pipe("a cat", image=img, mask_image=mask, num_inference_steps=3,
+               output_type="np")[0]
+    assert out.shape == (1, 32, 32, 3) and np.isfinite(out).all()

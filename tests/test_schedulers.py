@@ -191,3 +191,35 @@ def test_scheduler_config_roundtrip(tmp_path):
     sched2 = DDIMScheduler.from_pretrained(str(tmp_path))
     assert sched2.config.num_train_timesteps == 500
     assert sched2.config.prediction_type == "v_prediction"
+
+
+def test_unipc_recovers_x0():
+    from paddlemix_tpu.diffusers.schedulers import UniPCMultistepScheduler
+
+    x0, noise = _x0_and_noise()
+    sched = UniPCMultistepScheduler(num_train_timesteps=1000, beta_schedule="scaled_linear")
+    state = sched.set_timesteps(20, sample_shape=SHAPE)
+    final = jax.jit(lambda: _run_vp_loop(sched, state, x0, noise, 20))()
+    np.testing.assert_allclose(np.asarray(final), np.asarray(x0), atol=5e-2)
+
+
+def test_pndm_recovers_x0():
+    from paddlemix_tpu.diffusers.schedulers import PNDMScheduler
+
+    x0, noise = _x0_and_noise()
+    sched = PNDMScheduler(num_train_timesteps=1000, beta_schedule="scaled_linear")
+    state = sched.set_timesteps(30, sample_shape=SHAPE)
+    final = jax.jit(lambda: _run_vp_loop(sched, state, x0, noise, 30))()
+    np.testing.assert_allclose(np.asarray(final), np.asarray(x0), atol=8e-2)
+
+
+def test_heun_recovers_x0():
+    from paddlemix_tpu.diffusers.schedulers import HeunDiscreteScheduler
+
+    x0, noise = _x0_and_noise()
+    sched = HeunDiscreteScheduler(num_train_timesteps=1000, beta_schedule="scaled_linear")
+    state = sched.set_timesteps(15, sample_shape=SHAPE)
+    n_evals = state.num_inference_steps  # 2N-1 model evals
+    final = jax.jit(lambda: _run_vp_loop(sched, state, x0, noise, n_evals,
+                                         scale_input=True))()
+    np.testing.assert_allclose(np.asarray(final), np.asarray(x0), atol=0.12)
