@@ -65,6 +65,13 @@ class Trainer:
         n = jax.device_count()
         degrees = (a.data_parallel_degree, a.fsdp_parallel_degree,
                    a.tensor_parallel_degree, a.sequence_parallel_degree)
+        if degrees[0] != -1:
+            # explicit degrees: use exactly that many devices (reference allows
+            # running on a subset of the visible accelerators)
+            need = int(np.prod(degrees))
+            if need == 1:
+                return None
+            return create_mesh(MeshConfig(*degrees), devices=jax.devices()[:need])
         if n == 1 and degrees[1] == 1 and degrees[2] == 1 and degrees[3] == 1:
             return None
         return create_mesh(MeshConfig(*degrees))

@@ -192,3 +192,49 @@ def test_activations_registry():
         assert y.shape == x.shape
     with pytest.raises(KeyError):
         ops.get_activation("nope")
+
+
+# ------------------------------------------------------------------ ms_deform_attn
+def test_ms_deform_attn_matches_numpy_reference():
+    """XLA gather/interp op vs a direct numpy implementation (mirrors the
+    reference CUDA-op grad-check test, csrc/test_ms_deformable_attn_op.py)."""
+    from paddlemix_tpu.ops import ms_deform_attn
+
+    rng = np.random.RandomState(0)
+    B, H, D, Q, P = 2, 2, 4, 3, 2
+    shapes = [(4, 6), (2, 3)]
+    S = sum(h * w for h, w in shapes)
+    value = rng.randn(B, S, H, D).astype(np.float32)
+    locs = rng.rand(B, Q, H, len(shapes), P, 2).astype(np.float32) * 0.8 + 0.1
+    weights = rng.rand(B, Q, H, len(shapes), P).astype(np.float32)
+    weights /= weights.sum(axis=(3, 4), keepdims=True)
+
+    out = np.asarray(ms_deform_attn(jnp.asarray(value), shapes,
+                                    jnp.asarray(locs), jnp.asarray(weights)))
+
+    # numpy reference
+    ref = np.zeros((B, Q, H, D), np.float32)
+    offset = 0
+    for lvl, (h, w) in enumerate(shapes):
+        vl = value[:, offset: offset + h * w].reshape(B, h, w, H, D)
+        offset += h * w
+        for b in range(B):
+            for q in range(Q):
+                for hh in range(H):
+                    for p in range(P):
+                        x = locs[b, q, hh, lvl, p, 0] * w - 0.5
+                        y = locs[b, q, hh, lvl, p, 1] * h - 0.5
+                        x0, y0 = int(np.floor(x)), int(np.floor(y))
+                        dx, dy = x - x0, y - y0
+                        acc = np.zeros(D, np.float32)
+                        for (yy, xx, ww) in ((y0, x0, (1-dy)*(1-dx)), (y0, x0+1, (1-dy)*dx),
+                                             (y0+1, x0, dy*(1-dx)), (y0+1, x0+1, dy*dx)):
+                            if 0 <= xx < w and 0 <= yy < h:
+                                acc += ww * vl[b, yy, xx, hh]
+                        ref[b, q, hh] += acc * weights[b, q, hh, lvl, p]
+    np.testing.assert_allclose(out, ref.reshape(B, Q, H * D), atol=1e-5)
+
+    # gradients flow through value and locations
+    g = jax.grad(lambda v: jnp.sum(ms_deform_attn(v, shapes, jnp.asarray(locs),
+                                                  jnp.asarray(weights)) ** 2))(jnp.asarray(value))
+    assert float(jnp.abs(g).sum()) > 0
