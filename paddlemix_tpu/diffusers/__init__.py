@@ -8,6 +8,8 @@ from .image_processor import VaeImageProcessor
 from .models import (
     AutoencoderKL,
     AutoencoderKLConfig,
+    ControlNetConfig,
+    ControlNetModel,
     DiTConfig,
     DiTModel,
     SD3Transformer2DModel,
@@ -17,6 +19,7 @@ from .models import (
 )
 from .pipelines import (
     DiffusionPipeline,
+    StableDiffusionControlNetPipeline,
     DiTPipeline,
     StableDiffusion3Pipeline,
     StableDiffusionImg2ImgPipeline,

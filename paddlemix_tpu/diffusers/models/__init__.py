@@ -9,3 +9,4 @@ from .embeddings import (
 from .unet_2d_condition import UNet2DConditionConfig, UNet2DConditionModel
 from .dit import DiTConfig, DiTModel
 from .transformer_sd3 import SD3Transformer2DModel, SD3TransformerConfig
+from .controlnet import ControlNetConfig, ControlNetModel

@@ -184,7 +184,9 @@ class UNet2DConditionModule(nn.Module):
 
     @nn.compact
     def __call__(self, sample, timestep, encoder_hidden_states,
-                 added_cond_kwargs=None, class_labels=None):
+                 added_cond_kwargs=None, class_labels=None,
+                 down_block_additional_residuals=None,
+                 mid_block_additional_residual=None):
         cfg = self.config
         groups = cfg.norm_num_groups
         if cfg.center_input_sample:
@@ -229,10 +231,15 @@ class UNet2DConditionModule(nn.Module):
                                            name=f"down_blocks_{i}")(sample, emb)
             skips.extend(outs)
 
+        if down_block_additional_residuals is not None:
+            skips = [s + r for s, r in zip(skips, down_block_additional_residuals)]
+
         sample = UNetMidBlock2DCrossAttn(
             cfg.block_out_channels[-1], heads[-1], tf_layers[-1],
             cfg.use_linear_projection, groups=groups, dtype=self.dtype,
             name="mid_block")(sample, emb, encoder_hidden_states)
+        if mid_block_additional_residual is not None:
+            sample = sample + mid_block_additional_residual
 
         for i, block_type in enumerate(cfg.up_block_types):
             rev = list(reversed(cfg.block_out_channels))

@@ -9,3 +9,4 @@ from .stable_diffusion_img2img import (
     StableDiffusionImg2ImgPipeline,
     StableDiffusionInpaintPipeline,
 )
+from .controlnet import StableDiffusionControlNetPipeline

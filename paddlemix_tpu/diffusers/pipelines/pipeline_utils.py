@@ -42,6 +42,7 @@ _COMPONENT_CLASSES: Dict[str, str] = {
     "LCMScheduler": "paddlemix_tpu.diffusers.schedulers:LCMScheduler",
     "UniPCMultistepScheduler": "paddlemix_tpu.diffusers.schedulers:UniPCMultistepScheduler",
     "HeunDiscreteScheduler": "paddlemix_tpu.diffusers.schedulers:HeunDiscreteScheduler",
+    "ControlNetModel": "paddlemix_tpu.diffusers.models:ControlNetModel",
     "SD3Transformer2DModel": "paddlemix_tpu.diffusers.models:SD3Transformer2DModel",
     "DiTModel": "paddlemix_tpu.diffusers.models:DiTModel",
     "Transformer2DModel": "paddlemix_tpu.diffusers.models:DiTModel",

@@ -449,7 +449,11 @@ def scaled_dot_product_attention(
             use_pallas() and bias is None and dropout_rate == 0.0
             and k.shape[1] >= 128 and q.shape[3] <= 256
         )
-        impl = "flash" if flashable else "math"
+        # measured on v5e: XLA's fused attention beats the Pallas kernel for
+        # head_dim < 128 (lane padding wastes half the MXU) at moderate seq
+        # lens; keep flash where the S^2 logits would blow past HBM.
+        prefer_math = q.shape[3] < 128 and k.shape[1] <= 8192
+        impl = "flash" if (flashable and not prefer_math) else "math"
     if impl == "flash":
         return flash_attention(q, k, v, causal=causal, segment_ids=segment_ids, scale=scale)
     return attention_xla(

@@ -83,3 +83,39 @@ def test_sd3_pipeline_without_t5():
                   guidance_scale=5.0, output_type="np")[0]
     assert images.shape == (1, 32, 32, 3)
     assert np.isfinite(images).all()
+
+
+def test_controlnet_pipeline():
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pipelines import tiny_text_encoder, tiny_tokenizer, tiny_unet, tiny_vae
+    from paddlemix_tpu.diffusers import (
+        ControlNetConfig,
+        ControlNetModel,
+        DDIMScheduler,
+        StableDiffusionControlNetPipeline,
+    )
+
+    tok = tiny_tokenizer()
+    cn = ControlNetModel.from_config(ControlNetConfig.from_dict(dict(
+        sample_size=8, block_out_channels=(16, 32),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1, cross_attention_dim=32, attention_head_dim=2,
+        norm_num_groups=8, conditioning_embedding_out_channels=(8, 16))))
+    pipe = StableDiffusionControlNetPipeline(
+        vae=tiny_vae(), text_encoder=tiny_text_encoder(tok), tokenizer=tok,
+        unet=tiny_unet(), controlnet=cn, scheduler=DDIMScheduler())
+    control = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32)
+    out = pipe("a cat", image=control, height=32, width=32, num_inference_steps=2,
+               output_type="np")[0]
+    assert out.shape == (1, 32, 32, 3) and np.isfinite(out).all()
+    # zero-init output convs -> with fresh controlnet, result matches plain SD
+    from paddlemix_tpu.diffusers import StableDiffusionPipeline
+
+    plain = StableDiffusionPipeline(vae=pipe.vae, text_encoder=pipe.text_encoder,
+                                    tokenizer=tok, unet=pipe.unet, scheduler=DDIMScheduler())
+    a = pipe("x", image=control, height=32, width=32, num_inference_steps=2,
+             output_type="latent", seed=5)[0]
+    b = plain("x", height=32, width=32, num_inference_steps=2, output_type="latent", seed=5)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
