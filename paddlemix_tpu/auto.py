@@ -33,6 +33,10 @@ _MODEL_REGISTRY = {
     "sd3_transformer": ("paddlemix_tpu.diffusers.models", "SD3TransformerConfig",
                         "SD3Transformer2DModel"),
     "t5": ("paddlemix_tpu.models.t5", "T5Config", "T5EncoderModel"),
+    "internvl_chat": ("paddlemix_tpu.models.internvl2", "InternVLChatConfig",
+                      "InternVLChatModel"),
+    "eva02": ("paddlemix_tpu.models.eva02", "EVA02Config", "EVA02Model"),
+    "sam": ("paddlemix_tpu.models.sam", "SamConfig", "SamModel"),
 }
 
 _PROCESSOR_REGISTRY = {

@@ -1,0 +1,1 @@
+from .modeling import EVA02Config, EVA02Model, mim_loss
