@@ -1,4 +1,5 @@
 from .arguments import TrainingArguments
+from .callbacks import BenchmarkCallback, ProfilerCallback, TensorBoardCallback, parse_profiler_options
 from .ema import EMAState, ema_init, ema_update
 from .train_state import (
     TrainState,

@@ -107,6 +107,20 @@ class Trainer:
         self.step_fn = make_train_step(self.loss_fn, tx, mesh=self.mesh,
                                        rules=self.sharding_rules, example_state=state,
                                        donate=self.mesh is not None)
+        if a.profiler_options:
+            from .callbacks import parse_profiler_options
+
+            cb = parse_profiler_options(a.profiler_options)
+            if cb is not None:
+                self.callbacks.append(cb)
+        if a.benchmark:
+            from .callbacks import BenchmarkCallback
+
+            self.callbacks.append(BenchmarkCallback())
+        if a.report_to == "tensorboard":
+            from .callbacks import TensorBoardCallback
+
+            self.callbacks.append(TensorBoardCallback(os.path.join(a.output_dir, "tb")))
         if a.resume_from_checkpoint:
             self.load_checkpoint(a.resume_from_checkpoint)
         return self

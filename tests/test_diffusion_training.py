@@ -1,0 +1,62 @@
+"""Diffusion training: SD loss + flow-match loss through the Trainer
+(the reference's train_text_to_image/DiT training path, BASELINE config 5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from paddlemix_tpu.diffusers import DDPMScheduler, FlowMatchEulerDiscreteScheduler
+from paddlemix_tpu.diffusers.models import (SD3Transformer2DModel, SD3TransformerConfig,
+                                            UNet2DConditionConfig, UNet2DConditionModel)
+from paddlemix_tpu.diffusers.training_utils import (compute_snr, make_flow_match_loss_fn,
+                                                    make_sd_loss_fn, snr_weights)
+from paddlemix_tpu.trainer import Trainer, TrainingArguments
+
+TINY_UNET = dict(sample_size=8, block_out_channels=(16, 32),
+                 down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+                 up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+                 layers_per_block=1, cross_attention_dim=16, attention_head_dim=2,
+                 norm_num_groups=8)
+
+
+def test_snr():
+    sched = DDPMScheduler()
+    t = jnp.asarray([10, 500, 990])
+    snr = compute_snr(sched.alphas_cumprod, t)
+    assert float(snr[0]) > float(snr[1]) > float(snr[2])
+    w = snr_weights(sched.alphas_cumprod, t, snr_gamma=5.0)
+    assert w.shape == (3,) and bool(jnp.all(w > 0))
+
+
+def test_sd_training_reduces_loss():
+    unet = UNet2DConditionModel.from_config(UNet2DConditionConfig.from_dict(TINY_UNET))
+    sched = DDPMScheduler()
+    loss_fn = make_sd_loss_fn(unet, sched, snr_gamma=5.0)
+    rng = np.random.RandomState(0)
+    data = [{"latents": rng.randn(4, 8, 8, 4).astype(np.float32) * 0.2,
+             "encoder_hidden_states": rng.randn(4, 6, 16).astype(np.float32)}
+            for _ in range(6)]
+    args = TrainingArguments(learning_rate=2e-3, max_steps=8, logging_steps=4,
+                             save_steps=0, warmup_steps=1, data_parallel_degree=1,
+                             num_train_epochs=5)
+    t = Trainer(model=unet, args=args, loss_fn=loss_fn, train_dataloader=data)
+    res = t.train()
+    assert res["final_step"] == 8 and np.isfinite(res["loss"])
+
+
+def test_sd3_flow_match_training_step():
+    cfg = SD3TransformerConfig(sample_size=8, patch_size=2, in_channels=4,
+                               out_channels=4, num_layers=1, attention_head_dim=8,
+                               num_attention_heads=2, joint_attention_dim=16,
+                               caption_projection_dim=16, pooled_projection_dim=16)
+    model = SD3Transformer2DModel.from_config(cfg)
+    sched = FlowMatchEulerDiscreteScheduler()
+    loss_fn = make_flow_match_loss_fn(model, sched)
+    rng = np.random.RandomState(0)
+    batch = {"latents": jnp.asarray(rng.randn(2, 8, 8, 4), jnp.float32),
+             "encoder_hidden_states": jnp.asarray(rng.randn(2, 6, 16), jnp.float32),
+             "pooled_projections": jnp.asarray(rng.randn(2, 16), jnp.float32)}
+    loss, grads = jax.value_and_grad(loss_fn)(model.params, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
+    assert gnorm > 0

@@ -172,3 +172,26 @@ def test_lora_roundtrip_and_training(tmp_path):
     assert cfg2.r == 4
     k = next(iter(lora))
     np.testing.assert_allclose(np.asarray(lora[k]["a"]), np.asarray(lora2[k]["a"]), atol=1e-6)
+
+
+def test_callbacks(tmp_path):
+    from paddlemix_tpu.trainer import BenchmarkCallback, parse_profiler_options
+
+    cb = BenchmarkCallback(skip_steps=1, log_every=100)
+    for s in range(1, 8):
+        cb(step=s, metrics={"ips": 10.0 + s, "loss": 1.0})
+    summary = cb.summary()
+    assert summary["steps"] == 6 and summary["mean_ips"] > 10
+    prof = parse_profiler_options("batch_range=[2,4];state=GPU")
+    assert prof.start_step == 2 and prof.end_step == 4
+    assert parse_profiler_options(None) is None
+
+    # trainer wires benchmark + tensorboard callbacks
+    model = LlamaForCausalLM.from_config(CFG, seed=0)
+    args = TrainingArguments(output_dir=str(tmp_path), max_steps=3, logging_steps=1,
+                             save_steps=0, benchmark=True, report_to="tensorboard",
+                             data_parallel_degree=1)
+    t = Trainer(model=model, args=args, loss_fn=loss_fn_for(model),
+                train_dataloader=[make_batch(bs=2, seed=i) for i in range(4)])
+    t.train()
+    assert any(type(c).__name__ == "BenchmarkCallback" for c in t.callbacks)
