@@ -37,6 +37,8 @@ _MODEL_REGISTRY = {
                       "InternVLChatModel"),
     "eva02": ("paddlemix_tpu.models.eva02", "EVA02Config", "EVA02Model"),
     "sam": ("paddlemix_tpu.models.sam", "SamConfig", "SamModel"),
+    "qwen_vl": ("paddlemix_tpu.models.qwen_vl", "QwenVLConfig",
+                "QwenVLForConditionalGeneration"),
 }
 
 _PROCESSOR_REGISTRY = {

@@ -53,3 +53,24 @@ def test_eva02_mim_and_classify():
     clf = EVA02Model.from_config(cfg.replace(num_classes=10), seed=0)
     logits = clf(px)
     assert logits.shape == (2, 10)
+
+
+def test_qwen_vl_v1():
+    from paddlemix_tpu.models.qwen_vl import QwenVLConfig, QwenVLForConditionalGeneration
+
+    cfg = QwenVLConfig.from_dict(dict(
+        vision_config=dict(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                           num_attention_heads=2, image_size=32, patch_size=8),
+        text_config=dict(vocab_size=128, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=2,
+                         num_key_value_heads=2, max_position_embeddings=64),
+        num_queries=8, image_token_id=120))
+    model = QwenVLForConditionalGeneration.from_config(cfg, seed=0)
+    px = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    ids = np.full((1, 8 + 4), 5, np.int32)
+    ids[:, 1:9] = 120
+    logits, _ = model(jnp.asarray(ids), px)
+    assert logits.shape == (1, 12, 128)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+    logits2, _ = model(jnp.asarray(ids), px + 1.0)
+    assert float(jnp.abs(logits - logits2).max()) > 1e-4
