@@ -10,7 +10,8 @@ and excluded. The whole loop runs inside ONE jitted lax.fori_loop so dispatch
 overhead is amortized (pipelines do the same, see
 paddlemix_tpu/diffusers/pipelines/stable_diffusion.py).
 
-Env knobs: BENCH_STEPS (default 25), BENCH_RES (default 1024), BENCH_REPS (3).
+Env knobs: BENCH_STEPS (default 25), BENCH_RES (default 1024), BENCH_REPS (3),
+BENCH_BATCH (default 1; throughput mode batches multiple images per denoise).
 """
 
 import json
@@ -33,6 +34,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 25))
     res = int(os.environ.get("BENCH_RES", 1024))
     reps = int(os.environ.get("BENCH_REPS", 3))
+    batch = int(os.environ.get("BENCH_BATCH", 1))
     lat = res // 8
 
     from paddlemix_tpu.diffusers.models import AutoencoderKL, AutoencoderKLConfig
@@ -61,10 +63,10 @@ def main():
         beta_start=0.00085, beta_end=0.012, timestep_spacing="leading")
     state = scheduler.set_timesteps(steps)
 
-    context = jax.random.normal(jax.random.PRNGKey(2), (2, 77, 2048), jnp.bfloat16)
-    text_embeds = jax.random.normal(jax.random.PRNGKey(3), (2, 1280), jnp.bfloat16)
-    time_ids = jnp.tile(jnp.asarray([[res, res, 0, 0, res, res]], jnp.bfloat16), (2, 1))
-    latents0 = jax.random.normal(jax.random.PRNGKey(4), (1, lat, lat, 4), jnp.float32)
+    context = jax.random.normal(jax.random.PRNGKey(2), (2 * batch, 77, 2048), jnp.bfloat16)
+    text_embeds = jax.random.normal(jax.random.PRNGKey(3), (2 * batch, 1280), jnp.bfloat16)
+    time_ids = jnp.tile(jnp.asarray([[res, res, 0, 0, res, res]], jnp.bfloat16), (2 * batch, 1))
+    latents0 = jax.random.normal(jax.random.PRNGKey(4), (batch, lat, lat, 4), jnp.float32)
 
     gs = jnp.asarray(5.0, jnp.float32)
 
@@ -74,7 +76,7 @@ def main():
             t = state.timesteps[i]
             lat_in = jnp.concatenate([latents, latents])
             lat_in = scheduler.scale_model_input(state, lat_in, i)
-            t_in = jnp.broadcast_to(t, (2,))
+            t_in = jnp.broadcast_to(t, (2 * batch,))
             noise = unet.module.apply(
                 {"params": unet_params}, lat_in.astype(jnp.bfloat16), t_in,
                 context, added_cond_kwargs={"text_embeds": text_embeds,
@@ -104,7 +106,7 @@ def main():
         img = run(unet.params, vae.params, latents, state)
         jax.block_until_ready(img)
         times.append(time.time() - t0)
-    sec_per_image = float(np.median(times))
+    sec_per_image = float(np.median(times)) / batch
     imgs_per_sec = 1.0 / sec_per_image
 
     print(json.dumps({
@@ -114,7 +116,7 @@ def main():
         "vs_baseline": round(imgs_per_sec / 1.5, 4),
     }))
     print(f"# compile={compile_s:.1f}s warm={sec_per_image:.3f}s/img "
-          f"steps={steps} res={res} device={jax.devices()[0]}", file=sys.stderr)
+          f"steps={steps} res={res} batch={batch} device={jax.devices()[0]}", file=sys.stderr)
 
 
 if __name__ == "__main__":

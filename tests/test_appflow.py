@@ -58,3 +58,47 @@ def test_zero_shot_classification_app():
     out = app(image=img, candidate_labels=["cat", "dog"])
     assert len(out["result"]) == 2
     assert out["result"][0]["score"] >= out["result"][1]["score"]
+
+
+def test_image2text_vlm_bundle(tmp_path):
+    """Full Appflow image2text path: tiny LLaVA + image processor + real
+    tokenizers-lib tokenizer -> decoded string answer."""
+    import json as _json
+
+    import jax.numpy as jnp
+    from tokenizers import Tokenizer
+    from tokenizers.models import BPE
+    from tokenizers.pre_tokenizers import Whitespace
+    from tokenizers.trainers import BpeTrainer
+
+    from paddlemix_tpu.appflow.helpers import VLMBundle
+    from paddlemix_tpu.models.llava import LlavaConfig, LlavaForConditionalGeneration
+    from paddlemix_tpu.processors.clip_processing import CLIPImageProcessor
+    from paddlemix_tpu.utils.tokenizer import HFTokenizer
+
+    tok = Tokenizer(BPE(unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    tok.train_from_iterator(["user what is in the picture assistant a cat"] * 10,
+                            BpeTrainer(special_tokens=["<unk>", "</s>"], vocab_size=60))
+    vocab_size = tok.get_vocab_size()
+    hf_tok = HFTokenizer(tok, eos_token_id=tok.token_to_id("</s>"), model_max_length=64)
+
+    model = LlavaForConditionalGeneration.from_config(LlavaConfig.from_dict(dict(
+        vision_config=dict(hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+                           num_attention_heads=2, image_size=16, patch_size=8),
+        text_config=dict(vocab_size=vocab_size + 2, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=1, num_attention_heads=2,
+                         num_key_value_heads=2, max_position_embeddings=128,
+                         eos_token_id=tok.token_to_id("</s>")),
+        image_token_index=vocab_size + 1)))
+    bundle = VLMBundle(model, CLIPImageProcessor(size=16, crop_size=16), hf_tok,
+                       max_new_tokens=4)
+    img = (np.random.RandomState(0).rand(20, 20, 3) * 255).astype(np.uint8)
+    answer = bundle.answer(image=img, prompt="what is in the picture")
+    assert isinstance(answer, str)
+
+    from paddlemix_tpu.appflow import Appflow
+
+    app = Appflow(app="image2text_generation", models=[bundle])
+    out = app(image=img, prompt="describe")
+    assert isinstance(out["result"], str)

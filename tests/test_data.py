@@ -127,3 +127,32 @@ def test_datacopilot(tmp_path):
     again = MMDataset.from_auto(p)
     assert len(again) == 10
     assert len(clean + clean) == 20
+
+
+def test_hf_tokenizer_wrapper(tmp_path):
+    """Round-trip through a real tokenizers-lib tokenizer.json."""
+    from tokenizers import Tokenizer
+    from tokenizers.models import BPE
+    from tokenizers.pre_tokenizers import Whitespace
+    from tokenizers.trainers import BpeTrainer
+
+    tok = Tokenizer(BPE(unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    trainer = BpeTrainer(special_tokens=["<unk>", "<s>", "</s>"], vocab_size=200)
+    tok.train_from_iterator(["a photo of a cat", "the dog sat on a mat"] * 20, trainer)
+    tok.save(str(tmp_path / "tokenizer.json"))
+    import json as _json
+
+    (tmp_path / "tokenizer_config.json").write_text(_json.dumps(
+        {"model_max_length": 16, "bos_token": "<s>", "eos_token": "</s>"}))
+
+    from paddlemix_tpu.utils.tokenizer import HFTokenizer, load_tokenizer
+
+    t = load_tokenizer(str(tmp_path))
+    assert isinstance(t, HFTokenizer)
+    assert t.eos_token_id == t.token_to_id("</s>")
+    out = t(["a photo of a cat", "the dog"], padding="longest")
+    assert out["input_ids"].shape[0] == 2
+    assert out["attention_mask"][1].sum() < out["attention_mask"][0].sum()
+    text = t.decode(out["input_ids"][0][out["attention_mask"][0] == 1])
+    assert "cat" in text
