@@ -39,6 +39,11 @@ _MODEL_REGISTRY = {
     "sam": ("paddlemix_tpu.models.sam", "SamConfig", "SamModel"),
     "qwen_vl": ("paddlemix_tpu.models.qwen_vl", "QwenVLConfig",
                 "QwenVLForConditionalGeneration"),
+    "minigpt4": ("paddlemix_tpu.models.minigpt4", "MiniGPT4Config",
+                 "MiniGPT4ForConditionalGeneration"),
+    "imagebind": ("paddlemix_tpu.models.imagebind", "ImageBindConfig", "ImageBindModel"),
+    "groundingdino": ("paddlemix_tpu.models.groundingdino", "GroundingDinoConfig",
+                      "GroundingDinoModel"),
 }
 
 _PROCESSOR_REGISTRY = {

@@ -1,0 +1,98 @@
+"""MiniGPT4 + ImageBind tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from paddlemix_tpu.models.imagebind import ImageBindConfig, ImageBindModel
+from paddlemix_tpu.models.minigpt4 import MiniGPT4Config, MiniGPT4ForConditionalGeneration
+
+
+def test_minigpt4():
+    cfg = MiniGPT4Config.from_dict(dict(
+        vision_config=dict(hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+                           num_attention_heads=2, image_size=16, patch_size=8),
+        qformer_config=dict(hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+                            intermediate_size=64, cross_attention_frequency=2,
+                            encoder_hidden_size=32),
+        text_config=dict(vocab_size=64, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=1, num_attention_heads=2,
+                         num_key_value_heads=2, max_position_embeddings=64,
+                         eos_token_id=2),
+        num_query_tokens=4, image_token_id=63))
+    model = MiniGPT4ForConditionalGeneration.from_config(cfg, seed=0)
+    px = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    ids = np.full((1, 8), 5, np.int32)
+    ids[:, 1:5] = 63
+    logits, _ = model(jnp.asarray(ids), px)
+    assert logits.shape == (1, 8, 64)
+    out = model.generate(ids, px, max_new_tokens=3)
+    assert out.shape == (1, 3)
+
+
+def test_imagebind_all_modalities():
+    cfg = ImageBindConfig(embed_dim=32, modality_configs={
+        m: dict(hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+                intermediate_size=64, input_size=(16 if m not in ("text", "imu") else
+                                                  (8 if m == "text" else 32)),
+                patch_size=8, vocab_size=64)
+        for m in ("vision", "text", "audio", "depth", "thermal", "imu")})
+    # fix per-modality channel defaults clobbered above
+    cfg.modality_configs["vision"]["in_channels"] = 3
+    cfg.modality_configs["audio"]["in_channels"] = 1
+    cfg.modality_configs["depth"]["in_channels"] = 1
+    cfg.modality_configs["thermal"]["in_channels"] = 1
+    cfg.modality_configs["imu"]["in_channels"] = 6
+
+    model = ImageBindModel.from_config(cfg, seed=0)
+    inputs = {
+        "vision": jnp.zeros((2, 16, 16, 3)),
+        "text": jnp.ones((2, 8), jnp.int32),
+        "audio": jnp.zeros((2, 16, 16, 1)),
+        "depth": jnp.zeros((2, 16, 16, 1)),
+        "thermal": jnp.zeros((2, 16, 16, 1)),
+        "imu": jnp.zeros((2, 32, 6)),
+    }
+    embeds = model(inputs)
+    assert set(embeds) == set(inputs)
+    for m, e in embeds.items():
+        assert e.shape == (2, 32), m
+        assert bool(jnp.all(jnp.isfinite(e))), m
+    # cross-modal similarity is computable
+    sim = embeds["vision"] @ embeds["text"].T
+    assert sim.shape == (2, 2)
+
+
+def test_swin_backbone():
+    from paddlemix_tpu.models.groundingdino import SwinBackbone, SwinConfig
+
+    cfg = SwinConfig(patch_size=4, embed_dim=16, depths=(1, 1, 1), num_heads=(2, 2, 2),
+                     window_size=4, out_indices=(0, 1, 2))
+    swin = SwinBackbone(cfg)
+    px = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    params = swin.init(jax.random.PRNGKey(0), px)["params"]
+    outs = swin.apply({"params": params}, px)
+    assert [o.shape for o in outs] == [(1, 16, 16, 16), (1, 8, 8, 32), (1, 4, 4, 64)]
+
+
+def test_groundingdino_end_to_end():
+    from paddlemix_tpu.models.groundingdino import GroundingDinoConfig, GroundingDinoModel
+
+    cfg = GroundingDinoConfig(
+        swin_config=dict(patch_size=4, embed_dim=16, depths=(1, 1, 1),
+                         num_heads=(2, 2, 2), window_size=4, out_indices=(0, 1, 2)),
+        text_vocab_size=100, text_hidden_size=32, text_layers=1, text_heads=2,
+        max_text_len=16, hidden_size=32, num_heads=2, num_feature_levels=3,
+        num_encoder_layers=1, num_decoder_layers=2, num_queries=10, num_points=2,
+        ffn_dim=64)
+    model = GroundingDinoModel.from_config(cfg, seed=0)
+    px = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    ids = jnp.asarray([[2, 5, 9, 4, 0, 0]], jnp.int32)
+    mask = jnp.asarray([[1, 1, 1, 1, 0, 0]], jnp.int32)
+    out = model(px, ids, mask)
+    assert out["pred_boxes"].shape == (1, 10, 4)
+    assert out["pred_logits"].shape == (1, 10, 6)
+    assert bool(jnp.all(jnp.isfinite(out["pred_boxes"])))
+    assert bool(jnp.all((out["pred_boxes"] >= 0) & (out["pred_boxes"] <= 1)))
+    # masked text positions are suppressed in logits
+    assert float(out["pred_logits"][0, :, 4:].max()) <= -1e8
