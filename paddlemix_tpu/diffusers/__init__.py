@@ -18,6 +18,7 @@ from .models import (
     UNet2DConditionModel,
 )
 from .pipelines import (
+    AudioLDMPipeline,
     DiffusionPipeline,
     StableDiffusionControlNetPipeline,
     DiTPipeline,

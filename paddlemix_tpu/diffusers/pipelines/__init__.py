@@ -10,3 +10,4 @@ from .stable_diffusion_img2img import (
     StableDiffusionInpaintPipeline,
 )
 from .controlnet import StableDiffusionControlNetPipeline
+from .audioldm import AudioLDMPipeline

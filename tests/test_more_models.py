@@ -96,3 +96,41 @@ def test_groundingdino_end_to_end():
     assert bool(jnp.all((out["pred_boxes"] >= 0) & (out["pred_boxes"] <= 1)))
     # masked text positions are suppressed in logits
     assert float(out["pred_logits"][0, :, 4:].max()) <= -1e8
+
+
+def test_audioldm_pipeline():
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pipelines import tiny_text_encoder, tiny_tokenizer, tiny_unet
+    from paddlemix_tpu.diffusers import AudioLDMPipeline, DDIMScheduler
+    from paddlemix_tpu.diffusers.models import AutoencoderKL, AutoencoderKLConfig
+    from paddlemix_tpu.models.audioldm import HiFiGANConfig, HiFiGANVocoder
+
+    tok = tiny_tokenizer()
+    vae = AutoencoderKL.from_config(AutoencoderKLConfig(
+        in_channels=1, out_channels=1, block_out_channels=(8, 16),
+        down_block_types=("DownEncoderBlock2D",) * 2,
+        up_block_types=("UpDecoderBlock2D",) * 2, layers_per_block=1,
+        latent_channels=4, norm_num_groups=4))
+    vocoder = HiFiGANVocoder.from_config(HiFiGANConfig(
+        model_in_dim=16, upsample_initial_channel=32,
+        upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),)))
+    pipe = AudioLDMPipeline(vae=vae, text_encoder=tiny_text_encoder(tok),
+                            tokenizer=tok, unet=tiny_unet(), scheduler=DDIMScheduler(),
+                            vocoder=vocoder)
+    audio = pipe("a dog barking", audio_length_in_s=0.032, num_inference_steps=2)[0]
+    assert audio.ndim == 2 and audio.shape[0] == 1
+    assert np.isfinite(audio).all() and np.abs(audio).max() <= 1.0
+
+
+def test_hifigan_upsampling():
+    from paddlemix_tpu.models.audioldm import HiFiGANConfig, HiFiGANVocoder
+
+    cfg = HiFiGANConfig(model_in_dim=16, upsample_initial_channel=32,
+                        upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),))
+    voc = HiFiGANVocoder.from_config(cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 16))
+    wav = voc.decode(mel)
+    assert wav.shape == (2, 10 * cfg.hop_length)
