@@ -16,6 +16,8 @@ from .models import (
     SD3TransformerConfig,
     UNet2DConditionConfig,
     UNet2DConditionModel,
+    UNetMotionConfig,
+    UNetMotionModel,
 )
 from .pipelines import (
     AudioLDMPipeline,
@@ -27,6 +29,7 @@ from .pipelines import (
     StableDiffusionInpaintPipeline,
     StableDiffusionPipeline,
     StableDiffusionXLPipeline,
+    TextToVideoPipeline,
 )
 from .schedulers import (
     DDIMScheduler,

@@ -10,3 +10,4 @@ from .unet_2d_condition import UNet2DConditionConfig, UNet2DConditionModel
 from .dit import DiTConfig, DiTModel
 from .transformer_sd3 import SD3Transformer2DModel, SD3TransformerConfig
 from .controlnet import ControlNetConfig, ControlNetModel
+from .unet_motion import UNetMotionConfig, UNetMotionModel

@@ -11,3 +11,4 @@ from .stable_diffusion_img2img import (
 )
 from .controlnet import StableDiffusionControlNetPipeline
 from .audioldm import AudioLDMPipeline
+from .text_to_video import TextToVideoPipeline

@@ -134,3 +134,55 @@ def test_hifigan_upsampling():
     mel = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 16))
     wav = voc.decode(mel)
     assert wav.shape == (2, 10 * cfg.hop_length)
+
+
+def test_cogvlm_vision_expert():
+    from paddlemix_tpu.models.cogvlm import CogVLMConfig, CogVLMForCausalLM
+
+    cfg = CogVLMConfig.from_dict(dict(
+        vision_config=dict(hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+                           num_attention_heads=2, image_size=16, patch_size=8),
+        text_config=dict(vocab_size=64, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=2,
+                         num_key_value_heads=2, max_position_embeddings=64),
+        image_token_id=63))
+    model = CogVLMForCausalLM.from_config(cfg, seed=0)
+    px = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    ids = np.full((1, 4 + 4), 5, np.int32)
+    ids[:, 1:5] = 63
+    logits = model(jnp.asarray(ids), px)
+    assert logits.shape == (1, 8, 64)
+    # vision expert params exist and are distinct from language expert
+    flat = {".".join(map(str, k)) for k in
+            __import__("flax").traverse_util.flatten_dict(model.params)}
+    assert any("vision_expert_qkv" in k for k in flat)
+    assert any("language_expert_qkv" in k for k in flat)
+    # image path changes output only at/after image positions
+    logits2 = model(jnp.asarray(ids), px + 1.0)
+    assert float(jnp.abs(logits - logits2).max()) > 1e-4
+
+
+def test_text_to_video():
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pipelines import tiny_text_encoder, tiny_tokenizer, tiny_vae
+    from paddlemix_tpu.diffusers import (DDIMScheduler, TextToVideoPipeline,
+                                         UNetMotionConfig, UNetMotionModel)
+
+    tok = tiny_tokenizer()
+    unet = UNetMotionModel.from_config(UNetMotionConfig.from_dict(dict(
+        sample_size=8, block_out_channels=(16, 32),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1, cross_attention_dim=32, attention_head_dim=2,
+        norm_num_groups=8, num_frames=4, motion_num_heads=2)))
+    pipe = TextToVideoPipeline(vae=tiny_vae(), text_encoder=tiny_text_encoder(tok),
+                               tokenizer=tok, unet=unet, scheduler=DDIMScheduler())
+    video = pipe("a cat walking", num_frames=4, height=32, width=32,
+                 num_inference_steps=2)[0]
+    assert video.shape == (1, 4, 32, 32, 3)
+    assert np.isfinite(video).all()
+    # temporal attention makes frames interdependent: different seeds differ
+    v2 = pipe("a cat walking", num_frames=4, height=32, width=32,
+              num_inference_steps=2, seed=1)[0]
+    assert float(np.abs(video - v2).max()) > 1e-4
