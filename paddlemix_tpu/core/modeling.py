@@ -260,7 +260,9 @@ def convert_torch_state_dict(flat: Dict[str, np.ndarray], key_map=()) -> Dict[st
 
 
 def _coerce_shape(key: str, v: np.ndarray, target: tuple):
-    """Try transposes that map torch linear layouts onto flax kernels."""
+    """Try transposes that map torch linear layouts onto flax kernels, plus
+    position-embedding interpolation for resolution changes (reference
+    paddlemix/checkpoint.py:182-205 bicubic pos-embed interpolation)."""
     if v.ndim == 2 and v.T.shape == target:
         return v.T
     if v.ndim == 4 and tuple(np.transpose(v, (2, 3, 1, 0)).shape) == target:
@@ -268,4 +270,45 @@ def _coerce_shape(key: str, v: np.ndarray, target: tuple):
         return np.transpose(v, (2, 3, 1, 0))
     if v.squeeze().shape == target:
         return v.squeeze()
+    if ("position_embedding" in key or "pos_embed" in key) and v.ndim == len(target):
+        return interpolate_pos_embed(v, target)
     return None
+
+
+def interpolate_pos_embed(v: np.ndarray, target: tuple):
+    """Resize a (S, D) or (1, S, D) position table to a new grid size,
+    bicubic over the 2D patch grid, CLS row (if any) kept as-is."""
+    import jax
+    import jax.numpy as jnp
+
+    squeeze = False
+    if v.ndim == 3 and v.shape[0] == 1:
+        v = v[0]
+        squeeze = True
+        target = target[1:]
+    if v.ndim != 2 or len(target) != 2 or v.shape[1] != target[1]:
+        return None
+    s_old, d = v.shape
+    s_new = target[0]
+    # detect CLS token: grids are perfect squares
+    def grid(n):
+        r = int(round(n ** 0.5))
+        return r if r * r == n else None
+
+    for has_cls in (False, True):
+        go = grid(s_old - (1 if has_cls else 0))
+        gn = grid(s_new - (1 if has_cls else 0))
+        if go and gn:
+            cls_rows = v[:1] if has_cls else np.zeros((0, d), v.dtype)
+            body = v[1:] if has_cls else v
+            body = np.asarray(jax.image.resize(
+                jnp.asarray(body, jnp.float32).reshape(go, go, d),
+                (gn, gn, d), method="bicubic")).reshape(gn * gn, d)
+            out = np.concatenate([cls_rows.astype(np.float32), body], axis=0)
+            logger.info("interpolated %s: %d -> %d positions", key_str(v, s_old, s_new), s_old, s_new)
+            return out[None] if squeeze else out
+    return None
+
+
+def key_str(v, a, b):
+    return f"pos-embed ({a}->{b})"

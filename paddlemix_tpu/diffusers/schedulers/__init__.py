@@ -18,6 +18,11 @@ from .scheduling_flow_match import FlowMatchConfig, FlowMatchEulerDiscreteSchedu
 from .scheduling_heun import HeunConfig, HeunDiscreteScheduler, HeunState
 from .scheduling_lcm import LCMConfig, LCMScheduler, LCMState
 from .scheduling_pndm import PNDMConfig, PNDMScheduler, PNDMState
+from .scheduling_extra import (
+    CMStochasticIterativeScheduler,
+    DEISMultistepScheduler,
+    DPMSolverSDEScheduler,
+)
 from .scheduling_unipc import UniPCConfig, UniPCMultistepScheduler, UniPCState
 
 SCHEDULER_REGISTRY = {
@@ -31,4 +36,7 @@ SCHEDULER_REGISTRY = {
     "HeunDiscreteScheduler": HeunDiscreteScheduler,
     "PNDMScheduler": PNDMScheduler,
     "UniPCMultistepScheduler": UniPCMultistepScheduler,
+    "DEISMultistepScheduler": DEISMultistepScheduler,
+    "CMStochasticIterativeScheduler": CMStochasticIterativeScheduler,
+    "DPMSolverSDEScheduler": DPMSolverSDEScheduler,
 }

@@ -108,3 +108,31 @@ def test_sharding_rules(mesh8):
     y_ref = model(x)
     y_sharded = model.apply(sharded, x)
     np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_sharded), atol=1e-5)
+
+
+def test_pos_embed_interpolation(tmp_path):
+    """Loading a checkpoint trained at a different resolution interpolates the
+    position table (reference checkpoint.py:182-205)."""
+    from paddlemix_tpu.models.clip import CLIPTextModel  # noqa: F401  (import check)
+    from paddlemix_tpu.models.clip import CLIPConfig, CLIPModel
+
+    small = CLIPModel.from_config(CLIPConfig.from_dict(dict(
+        vision_config=dict(hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+                           num_attention_heads=2, image_size=32, patch_size=16),
+        text_config=dict(vocab_size=64, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=1, num_attention_heads=2,
+                         max_position_embeddings=8, eos_token_id=63),
+        projection_dim=16)))
+    small.save_pretrained(str(tmp_path))
+    # load at doubled image resolution: 2x2+1 -> 4x4+1 positions
+    big = CLIPModel.from_pretrained(
+        str(tmp_path),
+        vision_config=dict(hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+                           num_attention_heads=2, image_size=64, patch_size=16))
+    import jax.numpy as jnp
+
+    px = jnp.ones((1, 64, 64, 3))
+    ids = jnp.full((1, 8), 5, jnp.int32).at[:, -1].set(63)
+    img, txt, _ = big(px, ids)
+    assert img.shape == (1, 16)
+    assert bool(jnp.all(jnp.isfinite(img)))

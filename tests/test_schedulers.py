@@ -223,3 +223,51 @@ def test_heun_recovers_x0():
     final = jax.jit(lambda: _run_vp_loop(sched, state, x0, noise, n_evals,
                                          scale_input=True))()
     np.testing.assert_allclose(np.asarray(final), np.asarray(x0), atol=0.12)
+
+
+def test_deis_recovers_x0():
+    from paddlemix_tpu.diffusers.schedulers import DEISMultistepScheduler
+
+    x0, noise = _x0_and_noise()
+    sched = DEISMultistepScheduler(num_train_timesteps=1000, beta_schedule="scaled_linear")
+    state = sched.set_timesteps(25, sample_shape=SHAPE)
+    final = jax.jit(lambda: _run_vp_loop(sched, state, x0, noise, 25))()
+    np.testing.assert_allclose(np.asarray(final), np.asarray(x0), atol=8e-2)
+
+
+def test_consistency_scheduler():
+    from paddlemix_tpu.diffusers.schedulers import CMStochasticIterativeScheduler
+
+    x0, _ = _x0_and_noise()
+    sched = CMStochasticIterativeScheduler(sigma_max=20.0)
+    state = sched.set_timesteps(3)
+    sample = jax.random.normal(jax.random.PRNGKey(1), SHAPE) * sched.init_noise_sigma
+    key = jax.random.PRNGKey(0)
+    for i in range(3):
+        sigma = state.timesteps[i]
+        c_skip, c_out = sched.scalings(sigma)
+        # oracle consistency fn: model output such that denoised == x0
+        # (c_out -> 0 at sigma_min by the CM boundary condition f(x, s_min)=x,
+        #  so guard the division; at that point c_skip == 1 anyway)
+        model_out = (x0 - c_skip * sample) / jnp.where(c_out == 0, 1.0, c_out)
+        key, sub = jax.random.split(key)
+        sample, state = sched.step(state, model_out, i, sample, key=sub)
+    np.testing.assert_allclose(np.asarray(sample), np.asarray(x0), atol=1e-4)
+
+
+def test_dpm_sde_converges():
+    from paddlemix_tpu.diffusers.schedulers import DPMSolverSDEScheduler
+
+    x0, noise = _x0_and_noise()
+    sched = DPMSolverSDEScheduler(num_train_timesteps=1000, beta_schedule="scaled_linear")
+    state = sched.set_timesteps(40)
+    sample = noise * sched.init_noise_sigma
+    key = jax.random.PRNGKey(0)
+    for i in range(40):
+        sigma = state.sigmas[i]
+        inp = sched.scale_model_input(state, sample, i)
+        a = 1.0 / (1.0 + sigma ** 2)
+        eps = (inp - jnp.sqrt(a) * x0) / jnp.sqrt(1.0 - a + 1e-12)
+        key, sub = jax.random.split(key)
+        sample, state = sched.step(state, eps, i, sample, key=sub)
+    assert float(jnp.mean((sample - x0) ** 2)) < 0.2
