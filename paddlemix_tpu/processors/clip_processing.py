@@ -7,6 +7,7 @@ normalize, emitting NHWC float32 batches."""
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -40,9 +41,28 @@ class CLIPImageProcessor(BaseImageProcessor):
     def __call__(self, images) -> dict:
         if not isinstance(images, (list, tuple)):
             images = [images]
+        use_native = False
+        if os.environ.get("PMIX_NATIVE_PREPROCESS", "") == "1":
+            from .. import native
+
+            use_native = native.available()
         out = []
         for im in images:
             arr = to_numpy_rgb(im)
+            if use_native and self.do_resize and self.do_rescale and self.do_normalize:
+                # fused C++ path: resize shortest edge + crop + normalize
+                h, w = arr.shape[:2]
+                s = self.size / min(h, w)
+                from .. import native
+
+                arr = native.resize_normalize(arr.astype(np.uint8),
+                                              (round(h * s), round(w * s)),
+                                              self.image_mean, self.image_std,
+                                              self.rescale_factor)
+                if self.do_center_crop:
+                    arr = native.center_crop(arr, (self.crop_size, self.crop_size))
+                out.append(arr)
+                continue
             if self.do_resize:
                 arr = resize_shortest_edge(arr, self.size, self.resample)
             if self.do_center_crop:
