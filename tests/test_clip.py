@@ -165,3 +165,24 @@ def test_zero_shot_metric():
     feats = jax.random.normal(jax.random.PRNGKey(0), (4, 16))
     acc = zero_shot_accuracy(feats, classifier, jnp.zeros(4, jnp.int32))
     assert 0.0 <= acc["top1"] <= 1.0 and acc["top5"] == 1.0
+
+
+def test_coca():
+    from paddlemix_tpu.models.clip.coca import CoCaConfig, CoCaModel, coca_loss
+
+    cfg = CoCaConfig.from_dict(dict(
+        vision_config=dict(hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+                           num_attention_heads=2, image_size=16, patch_size=8),
+        text_config=dict(vocab_size=64, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=1, num_attention_heads=2,
+                         max_position_embeddings=16, eos_token_id=63),
+        projection_dim=16, num_img_queries=7, multimodal_layers=2))
+    model = CoCaModel.from_config(cfg, seed=0)
+    px = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    ids = jnp.full((2, 8), 5, jnp.int32).at[:, -1].set(63)
+    img, txt, caption_logits, scale = model(px, ids)
+    assert img.shape == (2, 16) and txt.shape == (2, 16)
+    assert caption_logits.shape == (2, 8, 64)
+    labels = jnp.asarray(np.where(np.asarray(ids) == 63, -100, np.asarray(ids)))
+    loss = coca_loss(img, txt, caption_logits, labels, scale)
+    assert np.isfinite(float(loss)) and float(loss) > 0

@@ -186,3 +186,27 @@ def test_text_to_video():
     v2 = pipe("a cat walking", num_frames=4, height=32, width=32,
               num_inference_steps=2, seed=1)[0]
     assert float(np.abs(video - v2).max()) > 1e-4
+
+
+def test_internlm_xcomposer2_plora():
+    from paddlemix_tpu.models.internlm_xcomposer2 import IXC2Config, IXC2ForCausalLM
+
+    cfg = IXC2Config.from_dict(dict(
+        vision_config=dict(hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+                           num_attention_heads=2, image_size=16, patch_size=8),
+        text_config=dict(vocab_size=64, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=2,
+                         num_key_value_heads=2, max_position_embeddings=64),
+        image_token_id=63, plora_rank=2))
+    model = IXC2ForCausalLM.from_config(cfg, seed=0)
+    px = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    ids = np.full((1, 8), 5, np.int32)
+    ids[:, 1:5] = 63
+    logits = model(jnp.asarray(ids), px)
+    assert logits.shape == (1, 8, 64)
+    # PLoRA branches exist, zero-init b => output equals pure-base at init for
+    # text tokens even if lora_a were nonzero
+    from flax import traverse_util
+
+    flat = {".".join(map(str, k)) for k in traverse_util.flatten_dict(model.params)}
+    assert any("lora_a" in k for k in flat) and any("lora_b" in k for k in flat)

@@ -36,3 +36,17 @@ def test_ring_attention_grads(seq_mesh):
     g_ring = jax.grad(lambda q: jnp.sum(ring(q, k, v) ** 2))(q)
     g_ref = jax.grad(lambda q: jnp.sum(attention_xla(q, k, v, causal=True) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_ref), atol=5e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ulysses_matches_full(seq_mesh, causal):
+    from paddlemix_tpu.parallel.ulysses import make_ulysses_attention
+
+    b, s, h, d = 2, 64, 8, 16  # heads divisible by 8 devices
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, s, h, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, s, h, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, s, h, d))
+    ref = attention_xla(q, k, v, causal=causal)
+    fn = make_ulysses_attention(seq_mesh, "sequence", causal=causal)
+    out = fn(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
