@@ -30,7 +30,65 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from __graft_entry__ import SDXL_UNET, _unet  # noqa: E402
 
 
+def bench_llava_decode():
+    """LLaVA-1.5-7B-shape decode: tokens/s + TTFT on one chip (BASELINE metric 2).
+
+    Random weights (no checkpoints offline); compute cost is value-independent.
+    Prompt = 576 image tokens + 32 text (the llava-1.5 layout), greedy decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from paddlemix_tpu.models.llama import LlamaConfig, LlamaForCausalLM, greedy_generate
+
+    new_tokens = int(os.environ.get("BENCH_NEW_TOKENS", 128))
+    cfg = LlamaConfig(vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+                      num_hidden_layers=32, num_attention_heads=32,
+                      num_key_value_heads=32, max_position_embeddings=4096)
+    model = LlamaForCausalLM(cfg, dtype=jnp.bfloat16)
+    args, kwargs = LlamaForCausalLM.example_inputs(cfg)
+    shapes = jax.eval_shape(
+        lambda: model.module.init(jax.random.PRNGKey(0), *args, **kwargs))["params"]
+
+    def materialize(key):
+        leaves, treedef = jax.tree_util.tree_flatten(shapes)
+        keys = jax.random.split(key, len(leaves))
+        vals = [jax.random.normal(k, l.shape, jnp.bfloat16) * 0.02
+                for k, l in zip(keys, leaves)]
+        return jax.tree_util.tree_unflatten(treedef, vals)
+
+    model.params = jax.jit(materialize)(jax.random.PRNGKey(0))
+    prompt_len = 576 + 32
+    ids = jnp.ones((1, prompt_len), jnp.int32)
+
+    # NOTE: through the axon relay, block_until_ready can return before
+    # execution finishes — a host fetch of the (tiny) output is the only
+    # reliable fence (see memory: axon-tpu-benchmarking)
+    t0 = time.time()
+    out = greedy_generate(model, ids, max_new_tokens=new_tokens, eos_token_id=-1)
+    np.asarray(out)
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        out = greedy_generate(model, ids, max_new_tokens=new_tokens, eos_token_id=-1)
+        np.asarray(out)
+        times.append(time.time() - t0)
+    total = float(np.median(times))
+    tps = new_tokens / total
+    print(json.dumps({
+        "metric": "llava7b_decode_tokens_per_sec_per_chip",
+        "value": round(tps, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(tps / 50.0, 4),  # ~H100 single-stream decode ballpark
+    }))
+    print(f"# compile={compile_s:.1f}s total={total:.2f}s prompt={prompt_len} "
+          f"new={new_tokens}", file=sys.stderr)
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "llava":
+        bench_llava_decode()
+        return
     steps = int(os.environ.get("BENCH_STEPS", 25))
     res = int(os.environ.get("BENCH_RES", 1024))
     reps = int(os.environ.get("BENCH_REPS", 3))
@@ -97,14 +155,14 @@ def main():
 
     t0 = time.time()
     img = run(unet.params, vae.params, latents, state)
-    jax.block_until_ready(img)
+    np.asarray(img[0, :2, :2])  # tiny host fetch: reliable completion fence
     compile_s = time.time() - t0
 
     times = []
     for _ in range(reps):
         t0 = time.time()
         img = run(unet.params, vae.params, latents, state)
-        jax.block_until_ready(img)
+        np.asarray(img[0, :2, :2])
         times.append(time.time() - t0)
     sec_per_image = float(np.median(times)) / batch
     imgs_per_sec = 1.0 / sec_per_image

@@ -1,1 +1,2 @@
 from .clip_zero_shot import build_zero_shot_classifier, zero_shot_accuracy
+from .caption_eval import bleu, cider_d, vqa_accuracy

@@ -237,11 +237,17 @@ def sample_token(logits, key, cfg: SamplingConfig):
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+_GENERATE_CACHE: dict = {}
+
+
 def greedy_generate(model: LlamaForCausalLM, input_ids, attention_mask=None,
                     max_new_tokens: int = 32, eos_token_id: Optional[int] = None,
                     sampling: SamplingConfig = SamplingConfig(), seed: int = 0,
                     inputs_embeds=None):
-    """Jit-compiled prefill + while_loop decode. input_ids right-padded (B, S)."""
+    """Jit-compiled prefill + while_loop decode. input_ids right-padded (B, S).
+
+    The jitted closure is cached per (config, shape, sampling) so repeated
+    calls don't retrace — this is the serving hot path."""
     params = model.params
     module = model.module
     eos = eos_token_id if eos_token_id is not None else model.config.eos_token_id
@@ -249,6 +255,12 @@ def greedy_generate(model: LlamaForCausalLM, input_ids, attention_mask=None,
     if attention_mask is None:
         attention_mask = jnp.ones((b, s), jnp.int32)
     max_len = s + max_new_tokens
+    cache_key = (id(type(model)), str(model.config.to_dict()), b, s, max_new_tokens,
+                 eos, sampling, inputs_embeds is not None, str(model.dtype))
+    if cache_key in _GENERATE_CACHE:
+        run_cached = _GENERATE_CACHE[cache_key]
+        return run_cached(params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
+                          jax.random.PRNGKey(seed), inputs_embeds=inputs_embeds)
 
     @jax.jit
     def run(params, input_ids, attention_mask, key, inputs_embeds=None):
@@ -287,5 +299,6 @@ def greedy_generate(model: LlamaForCausalLM, input_ids, attention_mask=None,
         _, tokens, _, _, _ = jax.lax.while_loop(cond, body, (0, tokens, cache, done, key))
         return tokens
 
+    _GENERATE_CACHE[cache_key] = run
     return run(params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
                jax.random.PRNGKey(seed), inputs_embeds=inputs_embeds)

@@ -156,3 +156,19 @@ def test_hf_tokenizer_wrapper(tmp_path):
     assert out["attention_mask"][1].sum() < out["attention_mask"][0].sum()
     text = t.decode(out["input_ids"][0][out["attention_mask"][0] == 1])
     assert "cat" in text
+
+
+def test_caption_metrics():
+    from paddlemix_tpu.metrics import bleu, cider_d, vqa_accuracy
+
+    cands = ["a cat sits on the mat", "a dog runs in the park"]
+    refs = [["a cat sits on the mat", "there is a cat on a mat"],
+            ["the dog is running in a park"]]
+    assert bleu(cands, refs) > 0.5
+    assert bleu(["zzz"], [["a cat"]]) == 0.0
+    perfect = cider_d(cands, [[c] for c in cands])
+    worse = cider_d(["something entirely different"], [[cands[0]]])
+    assert perfect > worse
+    acc = vqa_accuracy(["yes", "two", "blue"],
+                       [["yes", "yes", "yes", "no"], ["2", "two", "two"], ["red"] * 4])
+    assert 0.5 < acc < 1.0
