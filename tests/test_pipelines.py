@@ -153,3 +153,24 @@ def test_inpaint_pipeline(sd_pipe):
     out = pipe("a cat", image=img, mask_image=mask, num_inference_steps=3,
                output_type="np")[0]
     assert out.shape == (1, 32, 32, 3) and np.isfinite(out).all()
+
+
+def test_textual_inversion(sd_pipe, tmp_path):
+    import numpy as _np
+    from safetensors.numpy import save_file
+
+    from paddlemix_tpu.diffusers.loaders import load_textual_inversion
+
+    dim = sd_pipe.text_encoder.config.hidden_size
+    vec = _np.random.RandomState(0).randn(2, dim).astype(_np.float32)
+    save_file({"emb": vec}, str(tmp_path / "learned_embeds.safetensors"))
+    old_vocab = sd_pipe.text_encoder.config.vocab_size
+    tokens = load_textual_inversion(sd_pipe, str(tmp_path), token="<concept>")
+    assert len(tokens) == 2
+    assert sd_pipe.text_encoder.config.vocab_size == old_vocab + 2
+    ids = sd_pipe.tokenizer(["a photo of <concept>"])["input_ids"]
+    assert (ids >= old_vocab).any()
+    # pipeline still runs with the new token
+    out = sd_pipe("a photo of <concept>", height=32, width=32, num_inference_steps=2,
+                  output_type="latent")[0]
+    assert np.isfinite(np.asarray(out)).all()
