@@ -136,3 +136,44 @@ class ZeroShotClassificationTask(AppTask):
         order = np.argsort(-scores)
         return {"result": [{"label": candidates[i], "score": float(scores[i])}
                            for i in order]}
+
+
+@register_task("openset_det_sam")
+class OpenSetDetSamTask(AppTask):
+    """Open-set detection + segmentation: GroundingDINO boxes -> SAM masks
+    (reference appflow/openset_det_sam.py, the CVinW application)."""
+
+    def _construct(self):
+        if isinstance(self.model, (tuple, list)):
+            self.det, self.sam = self.model
+        else:
+            from ..models.groundingdino import GroundingDinoModel
+            from ..models.sam import SamModel
+
+            self.det = GroundingDinoModel.from_pretrained(self.kwargs["det_path"])
+            self.sam = SamModel.from_pretrained(self.kwargs["sam_path"])
+
+    def _run_model(self, inputs):
+        import jax.numpy as jnp
+        import numpy as np
+
+        image = np.asarray(inputs["image"], np.float32)
+        if image.max() > 1.5:
+            image = image / 255.0
+        px = jnp.asarray(image)[None]
+        ids = jnp.asarray(inputs["input_ids"], jnp.int32)
+        box_threshold = float(inputs.get("box_threshold", 0.3))
+        boxes, scores = self.det.predict(px, ids)
+        keep = np.asarray(scores[0]) >= box_threshold
+        boxes_np = np.asarray(boxes[0])[keep]  # (N, 4) cxcywh in [0,1]
+        masks = []
+        for box in boxes_np:
+            cx, cy, w, h = box
+            corners = jnp.asarray([[[cx - w / 2, cy - h / 2],
+                                    [cx + w / 2, cy + h / 2]]])
+            m, iou = self.sam(px, boxes=corners)
+            best = int(np.argmax(np.asarray(iou[0])))
+            masks.append(np.asarray(m[0, best]))
+        return {"result": {"boxes": boxes_np,
+                           "scores": np.asarray(scores[0])[keep],
+                           "masks": np.stack(masks) if masks else np.zeros((0,))}}

@@ -44,6 +44,12 @@ _MODEL_REGISTRY = {
     "imagebind": ("paddlemix_tpu.models.imagebind", "ImageBindConfig", "ImageBindModel"),
     "groundingdino": ("paddlemix_tpu.models.groundingdino", "GroundingDinoConfig",
                       "GroundingDinoModel"),
+    "visualglm": ("paddlemix_tpu.models.visualglm", "VisualGLMConfig",
+                  "VisualGLMForConditionalGeneration"),
+    "chatglm": ("paddlemix_tpu.models.visualglm", "ChatGLMConfig", "ChatGLMForCausalLM"),
+    "cogvlm": ("paddlemix_tpu.models.cogvlm", "CogVLMConfig", "CogVLMForCausalLM"),
+    "internlm_xcomposer2": ("paddlemix_tpu.models.internlm_xcomposer2", "IXC2Config",
+                            "IXC2ForCausalLM"),
 }
 
 _PROCESSOR_REGISTRY = {

@@ -102,3 +102,31 @@ def test_image2text_vlm_bundle(tmp_path):
     app = Appflow(app="image2text_generation", models=[bundle])
     out = app(image=img, prompt="describe")
     assert isinstance(out["result"], str)
+
+
+def test_openset_det_sam_chain():
+    """GroundingDINO -> SAM chained app (reference openset_det_sam)."""
+    import jax
+
+    from paddlemix_tpu.models.groundingdino import GroundingDinoConfig, GroundingDinoModel
+    from paddlemix_tpu.models.sam import SamConfig, SamModel
+
+    det = GroundingDinoModel.from_config(GroundingDinoConfig(
+        swin_config=dict(patch_size=4, embed_dim=16, depths=(1, 1, 1),
+                         num_heads=(2, 2, 2), window_size=4, out_indices=(0, 1, 2)),
+        text_vocab_size=64, text_hidden_size=32, text_layers=1, text_heads=2,
+        max_text_len=16, hidden_size=32, num_heads=2, num_feature_levels=3,
+        num_encoder_layers=1, num_decoder_layers=1, num_queries=4, num_points=2,
+        ffn_dim=64))
+    sam = SamModel.from_config(SamConfig(
+        image_size=64, patch_size=8, encoder_embed_dim=32, encoder_depth=1,
+        encoder_num_heads=2, encoder_global_attn_indexes=(0,), window_size=4,
+        out_chans=16, prompt_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
+        decoder_mlp_dim=32))
+    app = Appflow(app="openset_det_sam", models=[(det, sam)])
+    img = np.random.RandomState(0).rand(64, 64, 3).astype(np.float32)
+    out = app(image=img, input_ids=np.asarray([[2, 5, 9]]), box_threshold=0.0)
+    res = out["result"]
+    assert res["boxes"].shape[1] == 4
+    if len(res["boxes"]):
+        assert res["masks"].shape[0] == len(res["boxes"])

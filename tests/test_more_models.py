@@ -210,3 +210,33 @@ def test_internlm_xcomposer2_plora():
 
     flat = {".".join(map(str, k)) for k in traverse_util.flatten_dict(model.params)}
     assert any("lora_a" in k for k in flat) and any("lora_b" in k for k in flat)
+
+
+def test_visualglm():
+    from paddlemix_tpu.models.visualglm import (ChatGLMConfig, ChatGLMForCausalLM,
+                                                VisualGLMConfig,
+                                                VisualGLMForConditionalGeneration)
+
+    glm = ChatGLMForCausalLM.from_config(ChatGLMConfig(
+        vocab_size=64, hidden_size=32, ffn_hidden_size=64, num_layers=2,
+        num_attention_heads=2, multi_query_group_num=1))
+    logits = glm(jnp.asarray([[1, 5, 9, 11]], jnp.int32))
+    assert logits.shape == (1, 4, 64)
+
+    cfg = VisualGLMConfig.from_dict(dict(
+        vision_config=dict(hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+                           num_attention_heads=2, image_size=16, patch_size=8),
+        qformer_config=dict(hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+                            intermediate_size=64, cross_attention_frequency=1,
+                            encoder_hidden_size=32),
+        text_config=dict(vocab_size=64, hidden_size=32, ffn_hidden_size=64,
+                         num_layers=1, num_attention_heads=2, multi_query_group_num=1),
+        num_query_tokens=4, image_token_id=63))
+    model = VisualGLMForConditionalGeneration.from_config(cfg, seed=0)
+    px = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    ids = np.full((1, 8), 5, np.int32)
+    ids[:, 1:5] = 63
+    logits = model(jnp.asarray(ids), px)
+    assert logits.shape == (1, 8, 64)
+    logits2 = model(jnp.asarray(ids), px + 1.0)
+    assert float(jnp.abs(logits - logits2).max()) > 1e-4
