@@ -12,3 +12,4 @@ from .stable_diffusion_img2img import (
 from .controlnet import StableDiffusionControlNetPipeline
 from .audioldm import AudioLDMPipeline
 from .text_to_video import TextToVideoPipeline
+from .deepfloyd_if import IFPipeline, IFSuperResolutionPipeline

@@ -62,23 +62,45 @@ def vision_patch_positions(grid_thw: Sequence[Tuple[int, int, int]],
 
 def extract_patches(image: np.ndarray, patch_size: int = 14, merge_size: int = 2,
                     temporal_patch_size: int = 2) -> Tuple[np.ndarray, Tuple[int, int, int]]:
-    """(H, W, 3) float -> (n_patches, 3*tp*ps*ps) in merge-grouped order.
+    """(H, W, 3) image or (T, H, W, 3) video -> (n_patches, 3*tp*ps*ps) in
+    merge-grouped order.
 
-    Single images are duplicated along the temporal axis (reference behavior)."""
-    h, w = image.shape[:2]
-    gh, gw = h // patch_size, w // patch_size
-    frames = np.stack([image, image])  # (tp, H, W, C)
+    Single images are duplicated along the temporal axis; videos are padded to
+    a multiple of temporal_patch_size by repeating the last frame (reference
+    qwen2_vl_processing fetch_video behavior)."""
     tp = temporal_patch_size
-    c = image.shape[-1]
-    # -> (tp, gh, ps, gw, ps, C)
-    x = frames.reshape(tp, gh, patch_size, gw, patch_size, c)
-    # merge-grouped order: (gh/m, gw/m, m, m) patch blocks consecutive
+    if image.ndim == 3:
+        frames = np.stack([image] * tp)  # (tp, H, W, C)
+    else:
+        frames = image
+        if frames.shape[0] % tp:
+            pad = tp - frames.shape[0] % tp
+            frames = np.concatenate([frames, np.repeat(frames[-1:], pad, axis=0)])
+    t_groups = frames.shape[0] // tp
+    h, w = frames.shape[1:3]
+    gh, gw = h // patch_size, w // patch_size
+    c = frames.shape[-1]
     m = merge_size
-    x = x.transpose(1, 3, 0, 2, 4, 5)  # (gh, gw, tp, ps, ps, C)
-    x = x.reshape(gh // m, m, gw // m, m, tp, patch_size, patch_size, c)
-    x = x.transpose(0, 2, 1, 3, 4, 7, 5, 6)  # (gh/m, gw/m, m, m, tp, C, ps, ps)
-    patches = x.reshape(gh * gw, c * tp * patch_size * patch_size)
-    return patches.astype(np.float32), (1, gh, gw)
+    out = []
+    for g in range(t_groups):
+        x = frames[g * tp: (g + 1) * tp].reshape(tp, gh, patch_size, gw, patch_size, c)
+        # merge-grouped order: (gh/m, gw/m, m, m) patch blocks consecutive
+        x = x.transpose(1, 3, 0, 2, 4, 5)  # (gh, gw, tp, ps, ps, C)
+        x = x.reshape(gh // m, m, gw // m, m, tp, patch_size, patch_size, c)
+        x = x.transpose(0, 2, 1, 3, 4, 7, 5, 6)  # (gh/m, gw/m, m, m, tp, C, ps, ps)
+        out.append(x.reshape(gh * gw, c * tp * patch_size * patch_size))
+    return np.concatenate(out).astype(np.float32), (t_groups, gh, gw)
+
+
+def smart_nframes(total_frames: int, fps: float = 2.0, video_fps: float = 30.0,
+                  min_frames: int = 4, max_frames: int = 768,
+                  temporal_patch_size: int = 2) -> int:
+    """How many frames to sample from a video (reference
+    qwen2_vl_processing.py:853 smart_nframes)."""
+    n = total_frames / video_fps * fps
+    n = min(max(n, min_frames), max_frames, total_frames)
+    return max(int(round(n / temporal_patch_size)) * temporal_patch_size,
+               temporal_patch_size)
 
 
 @dataclasses.dataclass

@@ -240,3 +240,41 @@ def test_visualglm():
     assert logits.shape == (1, 8, 64)
     logits2 = model(jnp.asarray(ids), px + 1.0)
     assert float(jnp.abs(logits - logits2).max()) > 1e-4
+
+
+def test_deepfloyd_if_cascade():
+    import sys
+    sys.path.insert(0, "tests")
+    from paddlemix_tpu.diffusers import DDPMScheduler
+    from paddlemix_tpu.diffusers.models import UNet2DConditionConfig, UNet2DConditionModel
+    from paddlemix_tpu.diffusers.pipelines import IFPipeline, IFSuperResolutionPipeline
+    from paddlemix_tpu.models.t5 import T5Config, T5EncoderModel
+
+    class TinyT5Tok:
+        def __call__(self, texts, **kw):
+            ids = np.full((len(texts), 6), 3, np.int32)
+            return {"input_ids": ids, "attention_mask": np.ones_like(ids)}
+
+    t5 = T5EncoderModel.from_config(T5Config(vocab_size=32, d_model=16, d_kv=4,
+                                             d_ff=32, num_layers=1, num_heads=4,
+                                             relative_attention_num_buckets=8))
+    stage1_unet = UNet2DConditionModel.from_config(UNet2DConditionConfig.from_dict(dict(
+        sample_size=16, in_channels=3, out_channels=6,  # epsilon + variance
+        block_out_channels=(16, 32), down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"), layers_per_block=1,
+        cross_attention_dim=16, attention_head_dim=2, norm_num_groups=8)))
+    pipe1 = IFPipeline(unet=stage1_unet, scheduler=DDPMScheduler(),
+                       text_encoder=t5, tokenizer=TinyT5Tok())
+    low = pipe1("a cat", num_inference_steps=2, output_type="latent")[0]
+    assert low.shape == (1, 16, 16, 3)
+
+    stage2_unet = UNet2DConditionModel.from_config(UNet2DConditionConfig.from_dict(dict(
+        sample_size=32, in_channels=6, out_channels=6,  # 3 latent + 3 upscaled
+        block_out_channels=(16, 32), down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"), layers_per_block=1,
+        cross_attention_dim=16, attention_head_dim=2, norm_num_groups=8)))
+    pipe2 = IFSuperResolutionPipeline(unet=stage2_unet, scheduler=DDPMScheduler(),
+                                      text_encoder=t5, tokenizer=TinyT5Tok())
+    hi = pipe2(image=low, prompt="a cat", num_inference_steps=2, output_type="np")[0]
+    assert hi.shape == (1, 32, 32, 3)
+    assert np.isfinite(hi).all()

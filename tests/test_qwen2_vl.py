@@ -122,3 +122,28 @@ def test_hf_qwen2_vl_parity(tmp_path):
                       jnp.asarray(enc["pixel_patches"]),
                       jnp.asarray(enc["patch_pos_hw"]), jnp.asarray(enc["patch_segments"]))
     np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=5e-3)
+
+
+def test_video_patches():
+    from paddlemix_tpu.processors.qwen2_vl_processing import extract_patches, smart_nframes
+
+    video = np.random.RandomState(0).rand(5, 16, 24, 3).astype(np.float32)  # 5 frames
+    patches, grid = extract_patches(video, patch_size=4, merge_size=2,
+                                    temporal_patch_size=2)
+    assert grid == (3, 4, 6)  # 5 frames padded to 6 -> 3 temporal groups
+    assert patches.shape == (3 * 24, 3 * 2 * 16)
+    # single image still matches the old path
+    p1, g1 = extract_patches(video[0], patch_size=4)
+    assert g1 == (1, 4, 6)
+    assert smart_nframes(300, fps=2.0, video_fps=30.0) == 20
+    assert smart_nframes(3, fps=2.0, video_fps=30.0) >= 2
+
+
+def test_video_rope_index():
+    # video grid (t=2, h=2, w=2) -> merged tokens 2*1*1=2 with distinct t stream
+    ids = np.asarray([[5, 151, 151, 9]])
+    grid = np.asarray([[2, 2, 2]])
+    pos = get_rope_index(ids, grid, image_token_id=150, video_token_id=151,
+                         spatial_merge_size=2)
+    np.testing.assert_array_equal(pos[0, 0], [0, 1, 2, 3])  # t advances per frame
+    np.testing.assert_array_equal(pos[1, 0], [0, 1, 1, 3])  # h constant per frame
