@@ -88,8 +88,6 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
 
     assert example_state is not None, "mesh mode needs example_state for shardings"
     state_sh = state_shardings(example_state, mesh, rules)
-    batch_sh = jax.tree_util.tree_map(
-        lambda _: NamedSharding(mesh, P(("data", "fsdp"))), _example_batch_struct())
 
     return jax.jit(
         step_fn,
@@ -97,15 +95,6 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
         out_shardings=(state_sh, None),
         donate_argnums=(0,) if donate else (),
     )
-
-
-def _example_batch_struct():
-    return None
-
-
-def batch_shardings(batch, mesh: Mesh) -> Any:
-    return jax.tree_util.tree_map(
-        lambda _: NamedSharding(mesh, P(("data", "fsdp"))), batch)
 
 
 def shard_batch(batch, mesh: Mesh):
