@@ -36,7 +36,10 @@ class KVCache(NamedTuple):
 
     @classmethod
     def create(cls, config: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
-        shape = (config.num_hidden_layers, batch, max_len + 1, config.kv_heads, config.head_dim_)
+        # +1 pad-parking slot; rounded so the Pallas decode kernel's 128-lane
+        # block constraint holds (extra slots are masked by `lengths`)
+        slots = -(-max_len // 128) * 128 + 1
+        shape = (config.num_hidden_layers, batch, slots, config.kv_heads, config.head_dim_)
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
                    jnp.zeros((batch,), jnp.int32))
 
@@ -89,13 +92,24 @@ class LlamaAttention(nn.Module):
             k_cache = k_cache.at[bidx, write_idx].set(k.astype(k_cache.dtype))
             v_cache = v_cache.at[bidx, write_idx].set(v.astype(v_cache.dtype))
             new_cache = (k_cache, v_cache)
-            # attend over the cache: key j visible iff j <= q_position and j < length+written
-            key_pos = jnp.arange(L)[None, None, None, :]  # (1,1,1,L)
-            q_pos = positions[:, None, :, None]           # (B,1,S,1)
-            mask = key_pos <= q_pos
-            attn_bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
-            out = attention_xla(q, k_cache[:, :L - 1], v_cache[:, :L - 1],
-                                bias=attn_bias[..., : L - 1])
+            from ...ops.decode_attention import decode_attention
+            from ...ops.dispatch import use_pallas
+
+            # the fused kernel wins at long context; at short context decode is
+            # weight-bandwidth-bound and XLA's masked softmax is marginally faster
+            if s == 1 and use_pallas() and hd % 64 == 0 and (L - 1) % 128 == 0 \
+                    and L - 1 >= 2048:
+                # fused single-token decode kernel (paddlenlp_ops counterpart)
+                out = decode_attention(q, k_cache[:, :L - 1], v_cache[:, :L - 1],
+                                       positions[:, 0] + 1)
+            else:
+                # prefill / fallback: key j visible iff j <= q_position
+                key_pos = jnp.arange(L)[None, None, None, :]  # (1,1,1,L)
+                q_pos = positions[:, None, :, None]           # (B,1,S,1)
+                mask = key_pos <= q_pos
+                attn_bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
+                out = attention_xla(q, k_cache[:, :L - 1], v_cache[:, :L - 1],
+                                    bias=attn_bias[..., : L - 1])
         else:
             out = scaled_dot_product_attention(q, k, v, causal=True, segment_ids=segment_ids)
         out = out.reshape(b, s, cfg.num_attention_heads * hd)

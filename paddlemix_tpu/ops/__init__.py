@@ -18,6 +18,7 @@ from .norms import (
     layer_norm,
     rms_norm,
 )
+from .decode_attention import decode_attention, decode_attention_xla
 from .ms_deform_attn import ms_deform_attn
 from .quant import quantize_weights_int8, wint8_matmul
 from .rope import apply_rope, apply_rope_gptj, mrope_cos_sin, rope_cos_sin

@@ -238,3 +238,21 @@ def test_ms_deform_attn_matches_numpy_reference():
     g = jax.grad(lambda v: jnp.sum(ms_deform_attn(v, shapes, jnp.asarray(locs),
                                                   jnp.asarray(weights)) ** 2))(jnp.asarray(value))
     assert float(jnp.abs(g).sum()) > 0
+
+
+# ------------------------------------------------------------------ decode attention
+def test_decode_attention_matches_xla():
+    from paddlemix_tpu.ops.decode_attention import decode_attention, decode_attention_xla
+
+    b, L, hq, kvh, d = 2, 256, 4, 2, 128
+    q = rand(b, 1, hq, d)
+    k = rand(b, L, kvh, d, key=1)
+    v = rand(b, L, kvh, d, key=2)
+    lengths = jnp.asarray([100, 256], jnp.int32)
+    out_p = decode_attention(q, k, v, lengths, block_k=128)
+    out_x = decode_attention_xla(q, k, v, lengths)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=2e-5)
+    # short lengths actually mask: changing masked kv must not change output
+    k2 = k.at[0, 200].set(99.0)
+    out_p2 = decode_attention(q, k2, v, lengths, block_k=128)
+    np.testing.assert_allclose(np.asarray(out_p2[0]), np.asarray(out_p[0]), atol=1e-6)
