@@ -74,14 +74,25 @@ class BasicTransformerBlock(nn.Module):
     head_dim: int
     only_cross_attention: bool = False
     use_cross_attention: bool = True
+    tome_ratio: float = 0.0
+    tome_grid: tuple = ()
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, hidden, context=None):
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(hidden)
-        hidden = hidden + CrossAttention(
-            self.num_heads, self.head_dim, dtype=self.dtype, name="attn1"
-        )(h, context if self.only_cross_attention else None)
+        if self.tome_ratio > 0.0 and not self.only_cross_attention and self.tome_grid:
+            from ...ops.tome import build_tome
+
+            merge, unmerge = build_tome(h, self.tome_grid[0], self.tome_grid[1],
+                                        self.tome_ratio)
+            attn_out = CrossAttention(self.num_heads, self.head_dim, dtype=self.dtype,
+                                      name="attn1")(merge(h))
+            hidden = hidden + unmerge(attn_out)
+        else:
+            hidden = hidden + CrossAttention(
+                self.num_heads, self.head_dim, dtype=self.dtype, name="attn1"
+            )(h, context if self.only_cross_attention else None)
         if self.use_cross_attention:
             h = nn.LayerNorm(dtype=self.dtype, name="norm2")(hidden)
             hidden = hidden + CrossAttention(
@@ -100,6 +111,7 @@ class Transformer2DModel(nn.Module):
     num_layers: int = 1
     use_linear_projection: bool = False
     groups: int = 32
+    tome_ratio: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -114,7 +126,9 @@ class Transformer2DModel(nn.Module):
             x = nn.Conv(self.num_heads * self.head_dim, (1, 1), dtype=self.dtype, name="proj_in")(x)
             x = x.reshape(b, h * w, self.num_heads * self.head_dim)
         for i in range(self.num_layers):
-            x = BasicTransformerBlock(self.num_heads, self.head_dim, dtype=self.dtype,
+            x = BasicTransformerBlock(self.num_heads, self.head_dim,
+                                      tome_ratio=self.tome_ratio, tome_grid=(h, w),
+                                      dtype=self.dtype,
                                       name=f"transformer_blocks_{i}")(x, context)
         if self.use_linear_projection:
             x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)

@@ -256,3 +256,24 @@ def test_decode_attention_matches_xla():
     k2 = k.at[0, 200].set(99.0)
     out_p2 = decode_attention(q, k2, v, lengths, block_k=128)
     np.testing.assert_allclose(np.asarray(out_p2[0]), np.asarray(out_p[0]), atol=1e-6)
+
+
+# ------------------------------------------------------------------ ToMe
+def test_tome_merge_unmerge():
+    from paddlemix_tpu.ops.tome import build_tome
+
+    b, gh, gw, c = 2, 8, 8, 16
+    x = rand(b, gh * gw, c)
+    merge, unmerge = build_tome(x, gh, gw, ratio=0.25)
+    merged = merge(x)
+    assert merged.shape[1] == gh * gw - 16  # 25% merged
+    restored = unmerge(merged)
+    assert restored.shape == x.shape
+    # kept tokens round-trip exactly through merge->unmerge when values pass
+    # through unchanged; merged tokens take their destination's value
+    diff = jnp.abs(restored - x).max(axis=-1)  # (B, N)
+    n_changed = int((diff[0] > 1e-5).sum())
+    assert n_changed <= 16 + 16  # merged sources + averaged destinations
+    # ratio 0 -> identity
+    m0, u0 = build_tome(x, gh, gw, ratio=0.0)
+    np.testing.assert_allclose(np.asarray(u0(m0(x))), np.asarray(x))

@@ -55,3 +55,23 @@ def test_freeze_params():
     flat = traverse_util.flatten_dict(mask)
     assert not flat[("embed_tokens", "embedding")]
     assert flat[("layers_0", "mlp", "gate_proj", "kernel")]
+
+
+def test_tipc_benchmark_runner(tmp_path, capsys):
+    import json as _json
+    import sys as _sys
+
+    p, cfg = _setup(tmp_path)
+    from paddlemix_tpu.tools import run_benchmark
+
+    argv = _sys.argv
+    _sys.argv = ["run_benchmark", str(p), "--max_steps", "6", "--skip_steps", "2",
+                 "--output", str(tmp_path / "bench.json")]
+    try:
+        run_benchmark.main()
+    finally:
+        _sys.argv = argv
+    result = _json.loads((tmp_path / "bench.json").read_text())
+    assert result["speed_unit"] == "sample/sec"
+    assert result["steps_measured"] >= 1
+    assert result["ips_mean"] > 0
