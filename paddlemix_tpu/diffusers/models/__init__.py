@@ -11,3 +11,5 @@ from .dit import DiTConfig, DiTModel
 from .transformer_sd3 import SD3Transformer2DModel, SD3TransformerConfig
 from .controlnet import ControlNetConfig, ControlNetModel
 from .unet_motion import UNetMotionConfig, UNetMotionModel
+from .prior_transformer import PriorTransformer, PriorTransformerConfig
+from .vq_model import VQModel, VQModelConfig

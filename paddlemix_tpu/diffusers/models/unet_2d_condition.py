@@ -43,9 +43,11 @@ class UNet2DConditionConfig(BaseConfig):
     norm_num_groups: int = 32
     flip_sin_to_cos: bool = True
     freq_shift: int = 0
-    addition_embed_type: Optional[str] = None  # "text_time" for SDXL
+    addition_embed_type: Optional[str] = None  # "text_time" (SDXL) | "image" (Kandinsky)
     addition_time_embed_dim: Optional[int] = None
     projection_class_embeddings_input_dim: Optional[int] = None
+    encoder_hid_dim_type: Optional[str] = None  # "image_proj" for Kandinsky
+    encoder_hid_dim: Optional[int] = None       # image embed dim (e.g. 1280)
     center_input_sample: bool = False
 
     def _per_block(self, v):
@@ -210,6 +212,20 @@ class UNet2DConditionModule(nn.Module):
             add_embeds = jnp.concatenate([text_embeds, time_embeds], axis=-1)
             emb = emb + TimestepEmbedding(time_embed_dim, dtype=self.dtype,
                                           name="add_embedding")(add_embeds.astype(self.dtype))
+        elif cfg.addition_embed_type == "image":
+            # Kandinsky 2.2: CLIP image embedding added to the time embedding
+            image_embeds = added_cond_kwargs["image_embeds"]
+            emb = emb + TimestepEmbedding(time_embed_dim, dtype=self.dtype,
+                                          name="add_embedding")(image_embeds.astype(self.dtype))
+        if cfg.encoder_hid_dim_type == "image_proj":
+            # cross-attention context projected from the image embedding
+            image_embeds = added_cond_kwargs["image_embeds"]
+            ctx_dim = cfg.cross_attention_dim if isinstance(cfg.cross_attention_dim, int) \
+                else cfg.cross_attention_dim[0]
+            n_ctx = 4
+            proj = nn.Dense(n_ctx * ctx_dim, dtype=self.dtype,
+                            name="encoder_hid_proj")(image_embeds.astype(self.dtype))
+            encoder_hidden_states = proj.reshape(image_embeds.shape[0], n_ctx, ctx_dim)
 
         sample = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=((1, 1), (1, 1)),
                          dtype=self.dtype, name="conv_in")(sample)
@@ -293,6 +309,10 @@ class UNet2DConditionModel(PretrainedModel):
             kwargs["added_cond_kwargs"] = {
                 "text_embeds": jnp.zeros((1, text_dim)),
                 "time_ids": jnp.zeros((1, 6)),
+            }
+        elif config.addition_embed_type == "image":
+            kwargs["added_cond_kwargs"] = {
+                "image_embeds": jnp.zeros((1, config.encoder_hid_dim or 1280)),
             }
         return (jnp.zeros((1, s, s, config.in_channels)), jnp.asarray(0),
                 jnp.zeros((1, 8, ctx_dim))), kwargs

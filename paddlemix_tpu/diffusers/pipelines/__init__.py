@@ -13,3 +13,4 @@ from .controlnet import StableDiffusionControlNetPipeline
 from .audioldm import AudioLDMPipeline
 from .text_to_video import TextToVideoPipeline
 from .deepfloyd_if import IFPipeline, IFSuperResolutionPipeline
+from .kandinsky import KandinskyV22Pipeline, KandinskyV22PriorPipeline

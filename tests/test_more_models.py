@@ -278,3 +278,58 @@ def test_deepfloyd_if_cascade():
     hi = pipe2(image=low, prompt="a cat", num_inference_steps=2, output_type="np")[0]
     assert hi.shape == (1, 32, 32, 3)
     assert np.isfinite(hi).all()
+
+
+def test_kandinsky_cascade():
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pipelines import tiny_text_encoder, tiny_tokenizer
+    from paddlemix_tpu.diffusers import DDPMScheduler
+    from paddlemix_tpu.diffusers.models import (PriorTransformer, PriorTransformerConfig,
+                                                UNet2DConditionConfig, UNet2DConditionModel,
+                                                VQModel, VQModelConfig)
+    from paddlemix_tpu.diffusers.pipelines import (KandinskyV22Pipeline,
+                                                   KandinskyV22PriorPipeline)
+
+    tok = tiny_tokenizer()
+    text_enc = tiny_text_encoder(tok, dim=16)
+    prior = PriorTransformer.from_config(PriorTransformerConfig(
+        num_attention_heads=2, attention_head_dim=8, num_layers=2,
+        embedding_dim=16, num_embeddings=16))
+    prior_pipe = KandinskyV22PriorPipeline(prior=prior, image_encoder=None,
+                                           text_encoder=text_enc, tokenizer=tok,
+                                           scheduler=DDPMScheduler(clip_sample=False))
+    image_embeds, neg_embeds = prior_pipe("a cat", num_inference_steps=2)
+    assert image_embeds.shape == (1, 16)
+
+    unet = UNet2DConditionModel.from_config(UNet2DConditionConfig.from_dict(dict(
+        sample_size=8, in_channels=4, out_channels=4,
+        block_out_channels=(16, 32), down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"), layers_per_block=1,
+        cross_attention_dim=16, attention_head_dim=2, norm_num_groups=8,
+        addition_embed_type="image", encoder_hid_dim_type="image_proj",
+        encoder_hid_dim=16)))
+    movq = VQModel.from_config(VQModelConfig(
+        block_out_channels=(8, 16), down_block_types=("DownEncoderBlock2D",) * 2,
+        up_block_types=("UpDecoderBlock2D",) * 2, layers_per_block=1,
+        latent_channels=4, norm_num_groups=4, num_vq_embeddings=32))
+    pipe = KandinskyV22Pipeline(unet=unet, scheduler=DDPMScheduler(clip_sample=False),
+                                movq=movq)
+    images = pipe(image_embeds, height=32, width=32, num_inference_steps=2,
+                  output_type="np")[0]
+    assert images.shape == (1, 32, 32, 3)
+    assert np.isfinite(images).all()
+
+
+def test_vq_model_roundtrip():
+    from paddlemix_tpu.diffusers.models import VQModel, VQModelConfig
+
+    vq = VQModel.from_config(VQModelConfig(
+        block_out_channels=(8, 16), down_block_types=("DownEncoderBlock2D",) * 2,
+        up_block_types=("UpDecoderBlock2D",) * 2, layers_per_block=1,
+        latent_channels=4, norm_num_groups=4, num_vq_embeddings=32))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    rec, zq, idx = vq(x)
+    assert rec.shape == x.shape
+    assert idx.shape == (1, 16, 16)
+    assert int(idx.max()) < 32
