@@ -13,3 +13,11 @@ from .controlnet import ControlNetConfig, ControlNetModel
 from .unet_motion import UNetMotionConfig, UNetMotionModel
 from .prior_transformer import PriorTransformer, PriorTransformerConfig
 from .vq_model import VQModel, VQModelConfig
+from .wuerstchen import (
+    PaellaVQConfig,
+    PaellaVQModel,
+    WuerstchenDiffNeXt,
+    WuerstchenDiffNeXtConfig,
+    WuerstchenPrior,
+    WuerstchenPriorConfig,
+)

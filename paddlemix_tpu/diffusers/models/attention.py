@@ -25,15 +25,16 @@ class CrossAttention(nn.Module):
     head_dim: int
     cross_dim: Optional[int] = None
     out_bias: bool = True
+    qkv_bias: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, hidden, context=None):
         inner = self.num_heads * self.head_dim
         context = hidden if context is None else context
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(hidden)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(hidden)
+        k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_v")(context)
         b, sq = q.shape[:2]
         sk = k.shape[1]
         out = scaled_dot_product_attention(

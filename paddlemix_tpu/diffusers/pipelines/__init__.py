@@ -14,3 +14,9 @@ from .audioldm import AudioLDMPipeline
 from .text_to_video import TextToVideoPipeline
 from .deepfloyd_if import IFPipeline, IFSuperResolutionPipeline
 from .kandinsky import KandinskyV22Pipeline, KandinskyV22PriorPipeline
+from .stable_video import ImageToVideoPipeline
+from .wuerstchen import (
+    WuerstchenCombinedPipeline,
+    WuerstchenDecoderPipeline,
+    WuerstchenPriorPipeline,
+)

@@ -23,6 +23,7 @@ from .scheduling_extra import (
     DEISMultistepScheduler,
     DPMSolverSDEScheduler,
 )
+from .scheduling_wuerstchen import DDPMWuerstchenConfig, DDPMWuerstchenScheduler
 from .scheduling_unipc import UniPCConfig, UniPCMultistepScheduler, UniPCState
 
 SCHEDULER_REGISTRY = {
@@ -39,4 +40,5 @@ SCHEDULER_REGISTRY = {
     "DEISMultistepScheduler": DEISMultistepScheduler,
     "CMStochasticIterativeScheduler": CMStochasticIterativeScheduler,
     "DPMSolverSDEScheduler": DPMSolverSDEScheduler,
+    "DDPMWuerstchenScheduler": DDPMWuerstchenScheduler,
 }

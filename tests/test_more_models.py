@@ -333,3 +333,66 @@ def test_vq_model_roundtrip():
     assert rec.shape == x.shape
     assert idx.shape == (1, 16, 16)
     assert int(idx.max()) < 32
+
+
+def test_image_to_video_pipeline():
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pipelines import tiny_vae
+    from paddlemix_tpu.diffusers import DDIMScheduler, UNetMotionConfig, UNetMotionModel
+    from paddlemix_tpu.diffusers.pipelines import ImageToVideoPipeline
+
+    unet = UNetMotionModel.from_config(UNetMotionConfig.from_dict(dict(
+        sample_size=8, in_channels=8, out_channels=4,  # 4 latent + 4 cond
+        block_out_channels=(16, 32),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1, cross_attention_dim=16, attention_head_dim=2,
+        norm_num_groups=8, num_frames=4, motion_num_heads=2)))
+    pipe = ImageToVideoPipeline(vae=tiny_vae(), image_encoder=None, unet=unet,
+                                scheduler=DDIMScheduler())
+    img = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32) * 2 - 1
+    video = pipe(img, num_frames=4, num_inference_steps=2, output_type="np")[0]
+    assert video.shape == (1, 4, 32, 32, 3)
+    assert np.isfinite(video).all()
+
+
+def test_wuerstchen_end_to_end():
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pipelines import tiny_text_encoder, tiny_tokenizer
+    from paddlemix_tpu.diffusers.models import (
+        PaellaVQConfig, PaellaVQModel, WuerstchenDiffNeXt,
+        WuerstchenDiffNeXtConfig, WuerstchenPrior, WuerstchenPriorConfig)
+    from paddlemix_tpu.diffusers.schedulers import DDPMWuerstchenScheduler
+    from paddlemix_tpu.diffusers.pipelines import WuerstchenCombinedPipeline
+
+    tok = tiny_tokenizer()
+    text_enc = tiny_text_encoder(tok, dim=16)
+    prior = WuerstchenPrior.from_config(WuerstchenPriorConfig(
+        c_in=4, c=32, c_cond=16, c_r=8, depth=2, nhead=2))
+    decoder = WuerstchenDiffNeXt.from_config(WuerstchenDiffNeXtConfig(
+        c_in=4, c_out=4, c_r=8, patch_size=2, c_cond=16,
+        c_hidden=(16, 32), nhead=(-1, 2), blocks=(1, 1),
+        level_config=("CT", "CTA"), inject_effnet=(False, True),
+        effnet_embd=4, clip_embd=16))
+    vqgan = PaellaVQModel.from_config(PaellaVQConfig(
+        levels=2, bottleneck_blocks=1, embed_dim=16, latent_channels=4,
+        num_vq_embeddings=32))
+
+    # VQ roundtrip: 32px -> (8, 8, 4) latents -> 32px
+    x = jnp.zeros((1, 32, 32, 3))
+    z = vqgan.encode(x)
+    assert z.shape == (1, 8, 8, 4)
+    rec = vqgan.decode(z, force_not_quantize=False)
+    assert rec.shape == x.shape
+
+    pipe = WuerstchenCombinedPipeline(
+        tokenizer=tok, text_encoder=text_enc, decoder=decoder,
+        scheduler=DDPMWuerstchenScheduler(), vqgan=vqgan,
+        prior_prior=prior)
+    image = pipe("a red cube", height=128, width=128,
+                 prior_num_inference_steps=2, num_inference_steps=2,
+                 guidance_scale=0.0, output_type="np")[0]
+    assert image.shape == (1, 128, 128, 3)
+    assert np.isfinite(image).all()
