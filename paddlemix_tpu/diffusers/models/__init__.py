@@ -21,3 +21,4 @@ from .wuerstchen import (
     WuerstchenPrior,
     WuerstchenPriorConfig,
 )
+from .stable_cascade import StableCascadeUNet, StableCascadeUNetConfig

@@ -20,3 +20,8 @@ from .wuerstchen import (
     WuerstchenDecoderPipeline,
     WuerstchenPriorPipeline,
 )
+from .stable_cascade import (
+    StableCascadeCombinedPipeline,
+    StableCascadeDecoderPipeline,
+    StableCascadePriorPipeline,
+)

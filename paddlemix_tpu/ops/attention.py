@@ -92,11 +92,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0, 0].astype(jnp.float32)  # (block_q, d)
-        kt = k_ref[0, 0].astype(jnp.float32)  # (block_k, d)
+        # keep operands in their storage dtype: MXU multiplies bf16 natively
+        # with fp32 accumulation; upcasting first would run the matmul at
+        # the ~8x slower fp32 MXU rate.
         s = jax.lax.dot_general(
-            q, kt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (block_q, block_k)
+            q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (block_q, block_k) fp32
 
         if causal or has_segments:
             mask = jnp.full(s.shape, True)
@@ -201,10 +203,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref,
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0, 0].astype(jnp.float32)   # (bq, d)
-        kk = k_ref[0, 0].astype(jnp.float32)  # (bk, d)
-        vv = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)  # (bq, d)
+        q = q_ref[0, 0]   # (bq, d) storage dtype: bf16 matmuls, fp32 accum
+        kk = k_ref[0, 0]  # (bk, d)
+        vv = v_ref[0, 0]
+        do = do_ref[0, 0]  # (bq, d)
         lse = lse_ref[0, 0][:, :1]            # (bq, 1)
         di = di_ref[0, 0][:, :1]              # (bq, 1)
 
@@ -219,15 +221,17 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref,
             if has_segments:
                 mask = mask & (qseg_ref[0, 0][:, None] == kseg_ref[0, 0][None, :])
             s = jnp.where(mask, s, mask_value)
-        p = jnp.exp(s - lse)  # (bq, bk)
-        # dv += p^T do
-        dv_scr[...] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+        p = jnp.exp(s - lse)  # (bq, bk) fp32
+        # dv += p^T do (p demoted to the storage dtype so the MXU runs bf16)
+        dv_scr[...] += jax.lax.dot_general(p.astype(do.dtype), do,
+                                           (((0,), (0,)), ((), ())),
                                            preferred_element_type=jnp.float32)
         # dp = do v^T ; ds = p * (dp - di) * scale
         dp = jax.lax.dot_general(do, vv, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - di) * scale
-        dk_scr[...] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+        dk_scr[...] += jax.lax.dot_general(ds.astype(q.dtype), q,
+                                           (((0,), (0,)), ((), ())),
                                            preferred_element_type=jnp.float32)
 
     @pl.when(qi == num_q - 1)
@@ -252,10 +256,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref,
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0, 0].astype(jnp.float32)
-        kk = k_ref[0, 0].astype(jnp.float32)
-        vv = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        kk = k_ref[0, 0]
+        vv = v_ref[0, 0]
+        do = do_ref[0, 0]
         lse = lse_ref[0, 0][:, :1]
         di = di_ref[0, 0][:, :1]
         s = jax.lax.dot_general(q, kk, (((1,), (1,)), ((), ())),
@@ -273,7 +277,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref,
         dp = jax.lax.dot_general(do, vv, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - di) * scale
-        dq_scr[...] += jax.lax.dot(ds, kk, preferred_element_type=jnp.float32)
+        dq_scr[...] += jax.lax.dot(ds.astype(kk.dtype), kk,
+                                   preferred_element_type=jnp.float32)
 
     @pl.when(ki == num_kv - 1)
     def _store():

@@ -396,3 +396,39 @@ def test_wuerstchen_end_to_end():
                  guidance_scale=0.0, output_type="np")[0]
     assert image.shape == (1, 128, 128, 3)
     assert np.isfinite(image).all()
+
+
+def test_stable_cascade_end_to_end():
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pipelines import tiny_text_encoder, tiny_tokenizer
+    from paddlemix_tpu.diffusers.models import (
+        PaellaVQConfig, PaellaVQModel, StableCascadeUNet, StableCascadeUNetConfig)
+    from paddlemix_tpu.diffusers.schedulers import DDPMWuerstchenScheduler
+    from paddlemix_tpu.diffusers.pipelines import StableCascadeCombinedPipeline
+
+    tok = tiny_tokenizer()
+    text_enc = tiny_text_encoder(tok, with_projection=True, dim=16)
+    prior = StableCascadeUNet.from_config(StableCascadeUNetConfig(
+        c_in=4, c_out=4, c_r=8, patch_size=1, c_cond=16, c_hidden=(16, 16),
+        nhead=(2, 2), blocks_down=(1, 1), blocks_up=(1, 1),
+        level_config=("CTA", "CTA"), c_clip_text=16, c_clip_text_pooled=16,
+        c_clip_img=8, c_clip_seq=2, switch_level=(False,)))
+    decoder = StableCascadeUNet.from_config(StableCascadeUNet.stage_b_config(
+        c_in=4, c_out=4, c_r=8, patch_size=2, c_cond=16, c_hidden=(16, 32),
+        nhead=(-1, 2), blocks_down=(1, 1), blocks_up=(1, 1),
+        block_repeat_down=(1, 1), block_repeat_up=(2, 1),
+        level_config=("CT", "CTA"), c_clip=16, c_clip_seq=2, c_effnet=4,
+        c_pixels=3, switch_level=(False,)))
+    vqgan = PaellaVQModel.from_config(PaellaVQConfig(
+        levels=2, bottleneck_blocks=1, embed_dim=16, latent_channels=4,
+        num_vq_embeddings=32, scale_factor=0.43))
+
+    pipe = StableCascadeCombinedPipeline(
+        tokenizer=tok, text_encoder=text_enc, decoder=decoder,
+        scheduler=DDPMWuerstchenScheduler(), vqgan=vqgan, prior_prior=prior)
+    image = pipe("a blue sphere", height=128, width=128,
+                 prior_num_inference_steps=2, num_inference_steps=2,
+                 guidance_scale=0.0, output_type="np")[0]
+    assert image.shape == (1, 128, 128, 3)
+    assert np.isfinite(image).all()
