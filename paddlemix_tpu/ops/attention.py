@@ -74,16 +74,23 @@ def attention_xla(
 
 
 # ============================================================ Pallas forward
+# Scores are computed in base-2 log space: the wrapper folds scale*log2(e)
+# into q, so the kernel runs exp2 (one fewer VPU pass over the s tile than
+# scale-then-exp) and the lse residual is m2 + log2(l).
+LOG2E = float(np.log2(np.e))
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
-                m_scr, l_scr, acc_scr, *, scale, causal, block_q, block_k,
-                num_kv, has_segments, mask_value):
+                m_scr, l_scr, acc_scr, *, causal, block_q, block_k,
+                num_kv, has_segments, mask_value, d_out, fuse_l):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
     @pl.when(ki == 0)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
-        l_scr[...] = jnp.zeros_like(l_scr)
+        if not fuse_l:
+            l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     should_run = True
@@ -92,13 +99,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
 
     @pl.when(should_run)
     def _run():
-        # keep operands in their storage dtype: MXU multiplies bf16 natively
+        # operands stay in their storage dtype: MXU multiplies bf16 natively
         # with fp32 accumulation; upcasting first would run the matmul at
-        # the ~8x slower fp32 MXU rate.
+        # the ~8x slower fp32 MXU rate. q is pre-scaled by scale*log2(e).
         s = jax.lax.dot_general(
             q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (block_q, block_k) fp32
+        )  # (block_q, block_k) fp32, base-2 logits
 
         if causal or has_segments:
             mask = jnp.full(s.shape, True)
@@ -113,30 +120,32 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
             s = jnp.where(mask, s, mask_value)
 
         m_prev = m_scr[...]  # (block_q, LANES)
-        l_prev = l_scr[...]
         m_curr = jnp.max(s, axis=1)[:, None]  # (block_q, 1)
         m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
-        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])  # (block_q, 1)
-        p = jnp.exp(s - m_next[:, :1])
-        l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=1)[:, None]
+        alpha = jnp.exp2(m_prev[:, :1] - m_next[:, :1])  # (block_q, 1)
+        p = jnp.exp2(s - m_next[:, :1])
         m_scr[...] = m_next
-        l_scr[...] = jnp.broadcast_to(l_next, l_prev.shape)
+        if not fuse_l:
+            l_scr[...] = jnp.broadcast_to(
+                alpha * l_scr[:, :1] + jnp.sum(p, axis=1)[:, None], l_scr.shape)
+        # when fuse_l, v carries a trailing ones column so acc[:, d_out]
+        # accumulates sum(p) on the MXU instead of a VPU reduction
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
             p.astype(v_ref.dtype), v_ref[0, 0], preferred_element_type=jnp.float32
         )
 
     @pl.when(ki == num_kv - 1)
     def _store():
-        l = l_scr[:, :1]
+        l = acc_scr[:, d_out:d_out + 1] if fuse_l else l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_scr[:, :d_out] * l_inv).astype(o_ref.dtype)
         m = m_scr[:, :1]
-        lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        lse = m + jnp.log2(jnp.where(l == 0.0, 1.0, l))
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _flash_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value):
-    """q: (B,Hq,Sq,D), k/v: (B,Hkv,Skv,D) -> o, lse(B,Hq,Sq,LANES fp32)."""
+    """q: (B,Hq,Sq,D), k/v: (B,Hkv,Skv,D) -> o, lse(B,Hq,Sq,LANES fp32 base-2)."""
     b, hq, sq, d = q.shape
     _, hkv, skv, _ = k.shape
     g = hq // hkv
@@ -149,10 +158,21 @@ def _flash_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value
         qseg = jnp.zeros((b, 1, sq), jnp.int32)
         kseg = jnp.zeros((b, 1, skv), jnp.int32)
 
+    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    v = v.reshape(b, hkv, skv, d)
+    k = k.reshape(b, hkv, skv, d)
+    # the ones-column is free when d leaves lane padding anyway (e.g. 64);
+    # at d % 128 == 0 it would double the PV matmul width, so skip it there
+    fuse_l = d % LANES != 0
+    dv_in = d + 1 if fuse_l else d
+    if fuse_l:
+        v = jnp.concatenate([v, jnp.ones((b, hkv, skv, 1), v.dtype)], axis=-1)
+
     grid = (b, hq, nq, nk)
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+        _fwd_kernel, causal=causal, block_q=block_q, block_k=block_k,
         num_kv=nk, has_segments=has_segments, mask_value=mask_value,
+        d_out=d, fuse_l=fuse_l,
     )
     o, lse = pl.pallas_call(
         kernel,
@@ -164,7 +184,7 @@ def _flash_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda bb, h, qi, ki: (bb, h, qi, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bb, h, qi, ki: (bb, h // g, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bb, h, qi, ki: (bb, h // g, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, dv_in), lambda bb, h, qi, ki: (bb, h // g, ki, 0)),
             pl.BlockSpec((1, 1, block_q), lambda bb, h, qi, ki: (bb, 0, qi)),
             pl.BlockSpec((1, 1, block_k), lambda bb, h, qi, ki: (bb, 0, ki)),
         ],
@@ -175,13 +195,13 @@ def _flash_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, dv_in), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret_mode(),
-    )(q, k.reshape(b, hkv, skv, d), v.reshape(b, hkv, skv, d), qseg, kseg)
+    )(q, k, v, qseg, kseg)
     return o, lse
 
 
@@ -189,6 +209,7 @@ def _flash_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref,
                     di_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, scale, causal,
                     block_q, block_k, num_q, has_segments, mask_value):
+    # q arrives pre-scaled by scale*log2(e); lse is base-2 (matches fwd).
     ki = pl.program_id(2)
     qi = pl.program_id(3)
 
@@ -211,7 +232,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref,
         di = di_ref[0, 0][:, :1]              # (bq, 1)
 
         s = jax.lax.dot_general(q, kk, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale  # (bq, bk)
+                                preferred_element_type=jnp.float32)  # base-2
         if causal or has_segments:
             mask = jnp.full(s.shape, True)
             if causal:
@@ -221,15 +242,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref,
             if has_segments:
                 mask = mask & (qseg_ref[0, 0][:, None] == kseg_ref[0, 0][None, :])
             s = jnp.where(mask, s, mask_value)
-        p = jnp.exp(s - lse)  # (bq, bk) fp32
+        p = jnp.exp2(s - lse)  # (bq, bk) fp32
         # dv += p^T do (p demoted to the storage dtype so the MXU runs bf16)
         dv_scr[...] += jax.lax.dot_general(p.astype(do.dtype), do,
                                            (((0,), (0,)), ((), ())),
                                            preferred_element_type=jnp.float32)
-        # dp = do v^T ; ds = p * (dp - di) * scale
+        # dp = do v^T ; ds = p * (dp - di)
         dp = jax.lax.dot_general(do, vv, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - di) * scale
+        # dk = scale * ds^T q_orig = ds^T q_scaled / log2(e)
+        ds = p * (dp - di) * (1.0 / LOG2E)
         dk_scr[...] += jax.lax.dot_general(ds.astype(q.dtype), q,
                                            (((0,), (0,)), ((), ())),
                                            preferred_element_type=jnp.float32)
@@ -263,7 +285,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref,
         lse = lse_ref[0, 0][:, :1]
         di = di_ref[0, 0][:, :1]
         s = jax.lax.dot_general(q, kk, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32)  # base-2
         if causal or has_segments:
             mask = jnp.full(s.shape, True)
             if causal:
@@ -273,10 +295,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref,
             if has_segments:
                 mask = mask & (qseg_ref[0, 0][:, None] == kseg_ref[0, 0][None, :])
             s = jnp.where(mask, s, mask_value)
-        p = jnp.exp(s - lse)
+        p = jnp.exp2(s - lse)
         dp = jax.lax.dot_general(do, vv, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - di) * scale
+        ds = p * (dp - di) * scale  # dq w.r.t. the ORIGINAL (unscaled) q
         dq_scr[...] += jax.lax.dot(ds.astype(kk.dtype), kk,
                                    preferred_element_type=jnp.float32)
 
@@ -287,6 +309,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref,
 
 def _flash_bwd(q, k, v, segment_ids, scale, causal, block_q, block_k,
                mask_value, o, lse, do):
+    # fold scale*log2(e) into q once (fwd did the same; lse is base-2)
+    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
     b, hq, sq, d = q.shape
     _, hkv, skv, _ = k.shape
     g = hq // hkv
