@@ -25,3 +25,4 @@ from .stable_cascade import (
     StableCascadeDecoderPipeline,
     StableCascadePriorPipeline,
 )
+from .audioldm2 import AudioLDM2Pipeline

@@ -6,13 +6,15 @@ trainer/blip2_trainer.py:275-421). On TPU all of that collapses to one
 ``jax.sharding.Mesh`` with named axes; collectives are inserted by XLA over
 ICI/DCN. Axis names used across the framework:
 
+  stage     — pipeline parallel (reference fleet pp; GPipe over ppermute,
+              see parallel/pipeline.py) — outermost so stages ride the
+              slowest links (DCN between slices)
   data      — data parallel (plain DP, gradient psum)
   fsdp      — ZeRO-3 style parameter/optimizer sharding (reference "sharding")
   tensor    — tensor (megatron) parallel (reference fleet mp)
   sequence  — sequence/context parallel (reference "sep")
-
-Pipeline parallel is intentionally not an axis here: on TPU, what the
-reference gets from PP we get from FSDP+TP over fast ICI plus remat.
+  expert    — expert parallel for MoE layers (parallel/moe.py); XLA inserts
+              the all-to-alls from sharding constraints
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-AXES = ("data", "fsdp", "tensor", "sequence")
+AXES = ("stage", "data", "fsdp", "tensor", "sequence", "expert")
 
 
 @dataclasses.dataclass
@@ -33,10 +35,13 @@ class MeshConfig:
     fsdp_parallel_degree: int = 1   # reference: sharding_parallel_degree
     tensor_parallel_degree: int = 1
     sequence_parallel_degree: int = 1  # reference: sep_parallel_degree
+    pipeline_parallel_degree: int = 1  # reference: pp_degree
+    expert_parallel_degree: int = 1    # reference: moe expert parallel
 
     def degrees(self, n_devices: int) -> tuple:
-        d = [self.data_parallel_degree, self.fsdp_parallel_degree,
-             self.tensor_parallel_degree, self.sequence_parallel_degree]
+        d = [self.pipeline_parallel_degree, self.data_parallel_degree,
+             self.fsdp_parallel_degree, self.tensor_parallel_degree,
+             self.sequence_parallel_degree, self.expert_parallel_degree]
         fixed = int(np.prod([x for x in d if x != -1]))
         n_infer = sum(1 for x in d if x == -1)
         if n_infer > 1:
@@ -67,7 +72,7 @@ def create_mesh(
 
 def single_device_mesh(device: Optional[jax.Device] = None) -> Mesh:
     device = device or jax.devices()[0]
-    return Mesh(np.asarray([device]).reshape(1, 1, 1, 1), AXES)
+    return Mesh(np.asarray([device]).reshape((1,) * len(AXES)), AXES)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

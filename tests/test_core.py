@@ -83,14 +83,15 @@ def test_bf16_cast():
 
 
 def test_mesh_degrees():
-    assert MeshConfig(-1, 2, 2, 1).degrees(8) == (2, 2, 2, 1)
-    assert MeshConfig(8, 1, 1, 1).degrees(8) == (8, 1, 1, 1)
+    assert MeshConfig(-1, 2, 2, 1).degrees(8) == (1, 2, 2, 2, 1, 1)
+    assert MeshConfig(8, 1, 1, 1).degrees(8) == (1, 8, 1, 1, 1, 1)
+    assert MeshConfig(2, 1, 1, 1, 2, 2).degrees(8) == (2, 2, 1, 1, 1, 2)
     with pytest.raises(ValueError):
         MeshConfig(3, 1, 1, 1).degrees(8)
 
 
 def test_mesh_creation_8dev(mesh8):
-    assert mesh8.shape == {"data": 2, "fsdp": 2, "tensor": 2, "sequence": 1}
+    assert dict(mesh8.shape) == {"stage": 1, "data": 2, "fsdp": 2, "tensor": 2, "sequence": 1, "expert": 1}
 
 
 def test_sharding_rules(mesh8):

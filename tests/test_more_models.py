@@ -432,3 +432,55 @@ def test_stable_cascade_end_to_end():
                  guidance_scale=0.0, output_type="np")[0]
     assert image.shape == (1, 128, 128, 3)
     assert np.isfinite(image).all()
+
+
+def test_audioldm2_pipeline():
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pipelines import tiny_tokenizer
+    from paddlemix_tpu.diffusers import DDIMScheduler
+    from paddlemix_tpu.diffusers.models import AutoencoderKL, AutoencoderKLConfig
+    from paddlemix_tpu.diffusers.pipelines import AudioLDM2Pipeline
+    from paddlemix_tpu.models.audioldm import HiFiGANConfig, HiFiGANVocoder
+    from paddlemix_tpu.models.audioldm2 import (
+        AudioLDM2ProjectionConfig, AudioLDM2ProjectionModel, AudioLDM2UNet,
+        AudioLDM2UNetConfig, ClapTextConfig, ClapTextModelWithProjection)
+    from paddlemix_tpu.models.gpt2 import GPT2Config, GPT2Model
+    from paddlemix_tpu.models.t5 import T5Config, T5EncoderModel
+
+    tok = tiny_tokenizer()
+    clap = ClapTextModelWithProjection.from_config(ClapTextConfig(
+        vocab_size=tok.vocab_size, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32, max_position_embeddings=64,
+        projection_dim=12))
+    t5 = T5EncoderModel.from_config(T5Config(
+        vocab_size=tok.vocab_size, d_model=16, d_kv=8, d_ff=32, num_layers=1,
+        num_heads=2))
+    proj = AudioLDM2ProjectionModel.from_config(AudioLDM2ProjectionConfig(
+        text_encoder_dim=12, text_encoder_1_dim=16, langauge_model_dim=24))
+    gpt2 = GPT2Model.from_config(GPT2Config(
+        vocab_size=64, n_positions=128, n_embd=24, n_layer=1, n_head=2))
+    unet = AudioLDM2UNet.from_config(AudioLDM2UNetConfig(
+        in_channels=4, out_channels=4, block_out_channels=(16, 32),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1, cross_attention_dim=(None, 24, 24),
+        attention_head_dim=8, norm_num_groups=8))
+    vae = AutoencoderKL.from_config(AutoencoderKLConfig(
+        in_channels=1, out_channels=1, block_out_channels=(8, 16),
+        down_block_types=("DownEncoderBlock2D",) * 2,
+        up_block_types=("UpDecoderBlock2D",) * 2, layers_per_block=1,
+        latent_channels=4, norm_num_groups=4))
+    vocoder = HiFiGANVocoder.from_config(HiFiGANConfig(
+        model_in_dim=16, upsample_initial_channel=32,
+        upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),)))
+
+    pipe = AudioLDM2Pipeline(
+        vae=vae, text_encoder=clap, text_encoder_2=t5, projection_model=proj,
+        language_model=gpt2, tokenizer=tok, tokenizer_2=tok, unet=unet,
+        scheduler=DDIMScheduler(), vocoder=vocoder)
+    audio = pipe("a cat meowing", audio_length_in_s=0.512,
+                 num_inference_steps=2, max_new_tokens=4)[0]
+    assert audio.ndim == 2 and audio.shape[0] == 1
+    assert np.isfinite(audio).all() and np.abs(audio).max() <= 1.0

@@ -1,0 +1,109 @@
+"""Pipeline parallelism (GPipe over ppermute) and expert-parallel MoE tests
+on the virtual 8-device CPU mesh (conftest sets it up)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paddlemix_tpu.parallel.mesh import MeshConfig, create_mesh
+from paddlemix_tpu.parallel.pipeline import make_pipeline_forward, stack_stage_params
+from paddlemix_tpu.parallel.moe import MoEFeedForward
+
+
+def _layer(params, x):
+    w, b = params
+    return jnp.tanh(x @ w + b)
+
+
+def test_gpipe_matches_sequential():
+    n_stages, layers_per_stage, d = 4, 2, 16
+    mesh = create_mesh(MeshConfig(1, 1, 1, 1, n_stages, 1),
+                       devices=jax.devices()[:n_stages])
+    key = jax.random.PRNGKey(0)
+    per_layer = []
+    for i in range(n_stages * layers_per_stage):
+        k1, k2, key = jax.random.split(key, 3)
+        per_layer.append((jax.random.normal(k1, (d, d)) * 0.3,
+                          jax.random.normal(k2, (d,)) * 0.1))
+    stacked = stack_stage_params(per_layer, n_stages)
+
+    def stage_fn(stage_params, x):
+        def body(x, lp):
+            return _layer(lp, x), None
+        out, _ = jax.lax.scan(body, x, stage_params)
+        return out
+
+    batch = jax.random.normal(key, (8, d))
+    fwd = make_pipeline_forward(mesh, stage_fn, num_microbatches=4)
+    with mesh:
+        out = jax.jit(fwd)(stacked, batch)
+
+    ref = batch
+    for lp in per_layer:
+        ref = _layer(lp, ref)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_gpipe_grads_flow():
+    n_stages, d = 2, 8
+    mesh = create_mesh(MeshConfig(1, 1, 1, 1, n_stages, 1),
+                       devices=jax.devices()[:n_stages])
+    key = jax.random.PRNGKey(1)
+    per_layer = [(jax.random.normal(jax.random.fold_in(key, i), (d, d)) * 0.3,
+                  jnp.zeros((d,))) for i in range(n_stages)]
+    stacked = stack_stage_params(per_layer, n_stages)
+
+    def stage_fn(sp, x):
+        out, _ = jax.lax.scan(lambda x, lp: (_layer(lp, x), None), x, sp)
+        return out
+
+    batch = jax.random.normal(key, (4, d))
+    fwd = make_pipeline_forward(mesh, stage_fn, num_microbatches=2)
+
+    def loss(params):
+        return (fwd(params, batch) ** 2).sum()
+
+    def ref_loss(params):
+        x = batch
+        for i in range(n_stages):
+            x = stage_fn(jax.tree.map(lambda p: p[i], params), x)
+        return (x ** 2).sum()
+
+    with mesh:
+        g = jax.jit(jax.grad(loss))(stacked)
+    g_ref = jax.grad(ref_loss)(stacked)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
+
+
+def test_moe_expert_parallel_matches_single_device():
+    d, e = 8, 4
+    moe = MoEFeedForward(num_experts=e, hidden_mult=2, top_k=2,
+                         capacity_factor=2.0)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, d))
+    params = moe.init(jax.random.PRNGKey(3), x)["params"]
+    ref = moe.apply({"params": params}, x)
+
+    mesh = create_mesh(MeshConfig(1, 1, 1, 1, 1, 4), devices=jax.devices()[:4])
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    shard = lambda p, spec: jax.device_put(p, NamedSharding(mesh, spec))
+    sharded = {
+        "router": shard(params["router"], P()),
+        "wi": shard(params["wi"], P("expert")),
+        "wo": shard(params["wo"], P("expert")),
+    }
+    with mesh:
+        out = jax.jit(lambda p, x: moe.apply({"params": p}, x))(sharded, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_moe_capacity_drops_and_aux_loss():
+    moe = MoEFeedForward(num_experts=2, hidden_mult=1, top_k=1,
+                         capacity_factor=0.5)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 16, 4))
+    params = moe.init(jax.random.PRNGKey(5), x)["params"]
+    out, inter = moe.apply({"params": params}, x, mutable=["intermediates"])
+    assert out.shape == x.shape
+    aux = inter["intermediates"]["moe_aux_loss"][0]
+    assert np.isfinite(float(aux)) and float(aux) > 0
