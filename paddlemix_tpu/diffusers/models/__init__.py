@@ -22,3 +22,4 @@ from .wuerstchen import (
     WuerstchenPriorConfig,
 )
 from .stable_cascade import StableCascadeUNet, StableCascadeUNetConfig
+from .unet_1d import UNet1DConfig, UNet1DModel

@@ -19,29 +19,47 @@ from ...ops.activations import gelu_tanh
 
 
 class CrossAttention(nn.Module):
-    """diffusers-style Attention: to_q/to_k/to_v (no bias) + to_out."""
+    """diffusers-style Attention: to_q/to_k/to_v (no bias) + to_out.
+
+    With ip_tokens > 0, implements IP-Adapter's decoupled cross-attention
+    (reference ppdiffusers/loaders/ip_adapter.py + IPAdapterAttnProcessor):
+    the trailing ip_tokens of `context` are image tokens attended through
+    separate to_k_ip/to_v_ip projections, added with ip_scale."""
 
     num_heads: int
     head_dim: int
     cross_dim: Optional[int] = None
     out_bias: bool = True
     qkv_bias: bool = False
+    ip_tokens: int = 0
+    ip_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, hidden, context=None):
+    def _attend(self, q, ctx, name_k, name_v):
         inner = self.num_heads * self.head_dim
-        context = hidden if context is None else context
-        q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(hidden)
-        k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_v")(context)
         b, sq = q.shape[:2]
+        k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name=name_k)(ctx)
+        v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name=name_v)(ctx)
         sk = k.shape[1]
-        out = scaled_dot_product_attention(
+        return scaled_dot_product_attention(
             q.reshape(b, sq, self.num_heads, self.head_dim),
             k.reshape(b, sk, self.num_heads, self.head_dim),
             v.reshape(b, sk, self.num_heads, self.head_dim),
         ).reshape(b, sq, inner)
+
+    @nn.compact
+    def __call__(self, hidden, context=None):
+        inner = self.num_heads * self.head_dim
+        is_cross = context is not None
+        context = hidden if context is None else context
+        ip_ctx = None
+        if self.ip_tokens > 0 and is_cross and context.shape[1] > self.ip_tokens:
+            ip_ctx = context[:, -self.ip_tokens:]
+            context = context[:, :-self.ip_tokens]
+        q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(hidden)
+        out = self._attend(q, context, "to_k", "to_v")
+        if ip_ctx is not None:
+            out = out + self.ip_scale * self._attend(q, ip_ctx, "to_k_ip", "to_v_ip")
         return nn.Dense(hidden.shape[-1], use_bias=self.out_bias, dtype=self.dtype,
                         name="to_out")(out)
 
@@ -77,6 +95,8 @@ class BasicTransformerBlock(nn.Module):
     use_cross_attention: bool = True
     tome_ratio: float = 0.0
     tome_grid: tuple = ()
+    ip_tokens: int = 0
+    ip_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -97,7 +117,8 @@ class BasicTransformerBlock(nn.Module):
         if self.use_cross_attention:
             h = nn.LayerNorm(dtype=self.dtype, name="norm2")(hidden)
             hidden = hidden + CrossAttention(
-                self.num_heads, self.head_dim, dtype=self.dtype, name="attn2"
+                self.num_heads, self.head_dim, ip_tokens=self.ip_tokens,
+                ip_scale=self.ip_scale, dtype=self.dtype, name="attn2"
             )(h, context)
         h = nn.LayerNorm(dtype=self.dtype, name="norm3")(hidden)
         hidden = hidden + GEGLUFeedForward(dtype=self.dtype, name="ff")(h)
@@ -113,6 +134,8 @@ class Transformer2DModel(nn.Module):
     use_linear_projection: bool = False
     groups: int = 32
     tome_ratio: float = 0.0
+    ip_tokens: int = 0
+    ip_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -129,6 +152,7 @@ class Transformer2DModel(nn.Module):
         for i in range(self.num_layers):
             x = BasicTransformerBlock(self.num_heads, self.head_dim,
                                       tome_ratio=self.tome_ratio, tome_grid=(h, w),
+                                      ip_tokens=self.ip_tokens, ip_scale=self.ip_scale,
                                       dtype=self.dtype,
                                       name=f"transformer_blocks_{i}")(x, context)
         if self.use_linear_projection:

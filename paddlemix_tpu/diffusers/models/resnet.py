@@ -11,6 +11,25 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.norms import group_norm
+
+
+class GroupNormAct(nn.Module):
+    """GroupNorm with fused SiLU via the Pallas kernel (param names match
+    nn.GroupNorm: scale/bias, so checkpoints are unaffected)."""
+
+    groups: int = 32
+    eps: float = 1e-5
+    act: str = "silu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return group_norm(x, scale, bias, self.groups, self.eps, act=self.act)
+
 
 class ResnetBlock2D(nn.Module):
     out_channels: Optional[int] = None
@@ -22,14 +41,12 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x, temb=None):
         out_ch = self.out_channels or x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNormAct(self.groups, self.eps, dtype=self.dtype, name="norm1")(x)
         h = nn.Conv(out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(h)
         if temb is not None:
             t = nn.Dense(out_ch, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNormAct(self.groups, self.eps, dtype=self.dtype, name="norm2")(h)
         h = nn.Conv(out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != out_ch:
             if self.use_conv_shortcut:

@@ -48,6 +48,10 @@ class UNet2DConditionConfig(BaseConfig):
     projection_class_embeddings_input_dim: Optional[int] = None
     encoder_hid_dim_type: Optional[str] = None  # "image_proj" for Kandinsky
     encoder_hid_dim: Optional[int] = None       # image embed dim (e.g. 1280)
+    # IP-Adapter: trailing tokens of encoder_hidden_states are image tokens
+    # attended through decoupled to_k_ip/to_v_ip projections
+    ip_adapter_tokens: int = 0
+    ip_adapter_scale: float = 1.0
     center_input_sample: bool = False
 
     def _per_block(self, v):
@@ -74,6 +78,8 @@ class CrossAttnDownBlock2D(nn.Module):
     use_linear_projection: bool
     add_downsample: bool = True
     groups: int = 32
+    ip_tokens: int = 0
+    ip_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -85,7 +91,8 @@ class CrossAttnDownBlock2D(nn.Module):
                               name=f"resnets_{i}")(x, temb)
             x = Transformer2DModel(self.num_heads, head_dim, num_layers=self.tf_layers,
                                    use_linear_projection=self.use_linear_projection,
-                                   groups=self.groups, dtype=self.dtype,
+                                   groups=self.groups, ip_tokens=self.ip_tokens,
+                                   ip_scale=self.ip_scale, dtype=self.dtype,
                                    name=f"attentions_{i}")(x, context)
             outputs.append(x)
         if self.add_downsample:
@@ -120,6 +127,8 @@ class UNetMidBlock2DCrossAttn(nn.Module):
     tf_layers: int
     use_linear_projection: bool
     groups: int = 32
+    ip_tokens: int = 0
+    ip_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -129,7 +138,8 @@ class UNetMidBlock2DCrossAttn(nn.Module):
                           name="resnets_0")(x, temb)
         x = Transformer2DModel(self.num_heads, head_dim, num_layers=self.tf_layers,
                                use_linear_projection=self.use_linear_projection,
-                               groups=self.groups, dtype=self.dtype,
+                               groups=self.groups, ip_tokens=self.ip_tokens,
+                               ip_scale=self.ip_scale, dtype=self.dtype,
                                name="attentions_0")(x, context)
         x = ResnetBlock2D(self.channels, groups=self.groups, dtype=self.dtype,
                           name="resnets_1")(x, temb)
@@ -144,6 +154,8 @@ class CrossAttnUpBlock2D(nn.Module):
     use_linear_projection: bool
     add_upsample: bool = True
     groups: int = 32
+    ip_tokens: int = 0
+    ip_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -155,7 +167,8 @@ class CrossAttnUpBlock2D(nn.Module):
                               name=f"resnets_{i}")(x, temb)
             x = Transformer2DModel(self.num_heads, head_dim, num_layers=self.tf_layers,
                                    use_linear_projection=self.use_linear_projection,
-                                   groups=self.groups, dtype=self.dtype,
+                                   groups=self.groups, ip_tokens=self.ip_tokens,
+                                   ip_scale=self.ip_scale, dtype=self.dtype,
                                    name=f"attentions_{i}")(x, context)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
@@ -240,6 +253,7 @@ class UNet2DConditionModule(nn.Module):
                 sample, outs = CrossAttnDownBlock2D(
                     ch, cfg.layers_per_block, heads[i], tf_layers[i],
                     cfg.use_linear_projection, add_downsample=not last, groups=groups,
+                    ip_tokens=cfg.ip_adapter_tokens, ip_scale=cfg.ip_adapter_scale,
                     dtype=self.dtype, name=f"down_blocks_{i}")(sample, emb, encoder_hidden_states)
             else:
                 sample, outs = DownBlock2D(ch, cfg.layers_per_block, add_downsample=not last,
@@ -252,7 +266,9 @@ class UNet2DConditionModule(nn.Module):
 
         sample = UNetMidBlock2DCrossAttn(
             cfg.block_out_channels[-1], heads[-1], tf_layers[-1],
-            cfg.use_linear_projection, groups=groups, dtype=self.dtype,
+            cfg.use_linear_projection, groups=groups,
+            ip_tokens=cfg.ip_adapter_tokens, ip_scale=cfg.ip_adapter_scale,
+            dtype=self.dtype,
             name="mid_block")(sample, emb, encoder_hidden_states)
         if mid_block_additional_residual is not None:
             sample = sample + mid_block_additional_residual
@@ -268,7 +284,9 @@ class UNet2DConditionModule(nn.Module):
             if block_type == "CrossAttnUpBlock2D":
                 sample = CrossAttnUpBlock2D(
                     ch, n_layers, heads[j], tf_layers[j], cfg.use_linear_projection,
-                    add_upsample=not last, groups=groups, dtype=self.dtype,
+                    add_upsample=not last, groups=groups,
+                    ip_tokens=cfg.ip_adapter_tokens, ip_scale=cfg.ip_adapter_scale,
+                    dtype=self.dtype,
                     name=f"up_blocks_{i}")(sample, block_skips, emb, encoder_hidden_states)
             else:
                 sample = UpBlock2D(ch, n_layers, add_upsample=not last, groups=groups,

@@ -26,3 +26,10 @@ from .stable_cascade import (
     StableCascadePriorPipeline,
 )
 from .audioldm2 import AudioLDM2Pipeline
+from .unidiffuser import (
+    UniDiffuserConfig,
+    UniDiffuserModel,
+    UniDiffuserPipeline,
+    UniDiffuserTextDecoder,
+)
+from .dance_diffusion import DanceDiffusionPipeline

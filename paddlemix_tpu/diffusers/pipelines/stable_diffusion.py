@@ -104,6 +104,13 @@ class StableDiffusionPipeline(DiffusionPipeline):
                                                method=self.vae.module.decode)))
         return decode(self.vae.params, latents).astype(jnp.float32)
 
+    def load_ip_adapter(self, path: str, scale: float = 1.0):
+        from ..loaders import load_ip_adapter
+
+        self.image_proj_params = load_ip_adapter(self.unet, path, scale=scale)
+        self._jit = _JitCache()  # unet module changed; drop stale closures
+        return self.image_proj_params
+
     # ------------------------------------------------------------ call
     def __call__(
         self,
@@ -119,12 +126,23 @@ class StableDiffusionPipeline(DiffusionPipeline):
         output_type: str = "pil",
         clip_skip: Optional[int] = None,
         return_dict: bool = False,
+        ip_adapter_image_embeds: Optional[jnp.ndarray] = None,
     ):
         do_cfg = guidance_scale > 1.0
         cond, uncond = self.encode_prompt(prompt, negative_prompt, clip_skip)
         if num_images_per_prompt > 1:
             cond = jnp.repeat(cond, num_images_per_prompt, axis=0)
             uncond = jnp.repeat(uncond, num_images_per_prompt, axis=0)
+        if ip_adapter_image_embeds is not None:
+            # IP-Adapter: append projected image tokens to the text context
+            # (uncond side gets zero-image tokens, reference pipeline behavior)
+            from ..loaders import ip_image_tokens
+
+            toks = ip_image_tokens(self.image_proj_params, ip_adapter_image_embeds)
+            cond = jnp.concatenate([cond, toks.astype(cond.dtype)], axis=1)
+            zero = ip_image_tokens(self.image_proj_params,
+                                   jnp.zeros_like(ip_adapter_image_embeds))
+            uncond = jnp.concatenate([uncond, zero.astype(uncond.dtype)], axis=1)
         batch = cond.shape[0]
         context = jnp.concatenate([uncond, cond]) if do_cfg else cond
 

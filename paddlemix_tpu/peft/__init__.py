@@ -7,3 +7,13 @@ from .lora import (
     merge_params,
     save_lora,
 )
+from .ia3 import IA3Config, ia3_init, ia3_loss_fn
+from .ia3 import merge_params as ia3_merge_params
+from .adalora import (
+    AdaLoraConfig,
+    adalora_init,
+    adalora_loss_fn,
+    allocator_init,
+    allocator_update,
+)
+from .adalora import merge_params as adalora_merge_params

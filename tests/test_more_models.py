@@ -484,3 +484,98 @@ def test_audioldm2_pipeline():
                  num_inference_steps=2, max_new_tokens=4)[0]
     assert audio.ndim == 2 and audio.shape[0] == 1
     assert np.isfinite(audio).all() and np.abs(audio).max() <= 1.0
+
+
+def test_unidiffuser_modes():
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pipelines import tiny_text_encoder, tiny_tokenizer, tiny_vae
+    from paddlemix_tpu.diffusers import DPMSolverMultistepScheduler
+    from paddlemix_tpu.diffusers.pipelines import (
+        UniDiffuserConfig, UniDiffuserModel, UniDiffuserPipeline,
+        UniDiffuserTextDecoder)
+    from paddlemix_tpu.models.gpt2 import GPT2Config, GPT2Model
+
+    tok = tiny_tokenizer()
+    unet = UniDiffuserModel.from_config(UniDiffuserConfig(
+        text_dim=16, clip_img_dim=8, num_text_tokens=16,
+        num_attention_heads=2, attention_head_dim=8, in_channels=4,
+        sample_size=8, patch_size=2, num_layers=3))
+    gpt2 = GPT2Model.from_config(GPT2Config(
+        vocab_size=tok.vocab_size, n_positions=64, n_embd=16, n_layer=1,
+        n_head=2))
+    decoder = UniDiffuserTextDecoder(gpt2, prefix_dim=16)
+    pipe = UniDiffuserPipeline(
+        vae=tiny_vae(), text_encoder=tiny_text_encoder(tok, dim=16),
+        image_encoder=None, clip_tokenizer=tok, text_decoder=decoder,
+        text_tokenizer=tok, unet=unet,
+        scheduler=DPMSolverMultistepScheduler())
+
+    out = pipe("a dog", num_inference_steps=2)
+    assert out["images"].shape == (1, 16, 16, 3)
+    assert np.isfinite(out["images"]).all()
+
+    pipe.set_joint_mode()
+    out = pipe(num_inference_steps=2)
+    assert "images" in out and "token_ids" in out
+    assert out["token_ids"].shape[0] == 1
+
+
+def test_ip_adapter_loading_and_inference(tmp_path):
+    import sys
+    sys.path.insert(0, "tests")
+    import numpy as onp
+    from safetensors.numpy import save_file
+    from test_pipelines import tiny_text_encoder, tiny_tokenizer, tiny_unet, tiny_vae
+    from paddlemix_tpu.diffusers import DDIMScheduler, StableDiffusionPipeline
+
+    tok = tiny_tokenizer()
+    pipe = StableDiffusionPipeline(
+        vae=tiny_vae(), text_encoder=tiny_text_encoder(tok), tokenizer=tok,
+        unet=tiny_unet(), scheduler=DDIMScheduler())
+
+    # synthesize an ip-adapter file matching the tiny unet: 2 cross-attn
+    # attn2 modules (one down block, one up block), odd key ids, torch layout
+    cross_dim, inner, clip_dim = 32, 16, 24
+    rng = onp.random.RandomState(0)
+    tensors = {
+        "image_proj.proj.weight": rng.randn(4 * cross_dim, clip_dim).astype("float32"),
+        "image_proj.proj.bias": onp.zeros(4 * cross_dim, "float32"),
+        "image_proj.norm.weight": onp.ones(cross_dim, "float32"),
+        "image_proj.norm.bias": onp.zeros(cross_dim, "float32"),
+    }
+    # tiny unet attn2 order: down_0 (ch16), up_1 x2 (ch16), mid (ch32)
+    key_id = 1
+    for inner_dim in (16, 16, 16, 32):
+        for nm in ("to_k_ip", "to_v_ip"):
+            tensors[f"ip_adapter.{key_id}.{nm}.weight"] = \
+                rng.randn(inner_dim, cross_dim).astype("float32") * 0.02
+        key_id += 2
+    f = str(tmp_path / "ip-adapter.safetensors")
+    save_file(tensors, f)
+
+    proj = pipe.load_ip_adapter(f)
+    assert pipe.unet.config.ip_adapter_tokens == 4
+    emb = jnp.asarray(rng.randn(1, clip_dim).astype("float32"))
+    img = pipe("a cat", height=32, width=32, num_inference_steps=2,
+               output_type="np", ip_adapter_image_embeds=emb)[0]
+    assert img.shape == (1, 32, 32, 3)
+    assert np.isfinite(img).all()
+
+
+def test_dance_diffusion_unet1d():
+    from paddlemix_tpu.diffusers import DDPMScheduler
+    from paddlemix_tpu.diffusers.models import UNet1DConfig, UNet1DModel
+    from paddlemix_tpu.diffusers.pipelines import DanceDiffusionPipeline
+
+    unet = UNet1DModel.from_config(UNet1DConfig(
+        sample_size=256, in_channels=2, out_channels=2,
+        block_out_channels=(8, 8, 16)))
+    x = jnp.zeros((1, 256, 2))
+    out = unet.module.apply({"params": unet.params}, x, jnp.asarray(5.0))
+    assert out.shape == x.shape
+
+    pipe = DanceDiffusionPipeline(unet=unet, scheduler=DDPMScheduler())
+    audio = pipe(num_inference_steps=2, audio_length_in_s=0.016)[0]
+    assert audio.shape[0] == 1 and audio.shape[1] == 2
+    assert np.isfinite(audio).all() and np.abs(audio).max() <= 1.0

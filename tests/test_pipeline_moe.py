@@ -107,3 +107,54 @@ def test_moe_capacity_drops_and_aux_loss():
     assert out.shape == x.shape
     aux = inter["intermediates"]["moe_aux_loss"][0]
     assert np.isfinite(float(aux)) and float(aux) > 0
+
+
+def test_ia3_and_adalora():
+    import optax
+    from paddlemix_tpu.peft import (
+        AdaLoraConfig, IA3Config, adalora_init, adalora_loss_fn,
+        adalora_merge_params, allocator_init, allocator_update, ia3_init,
+        ia3_loss_fn, ia3_merge_params)
+
+    params = {"layer": {"to_k": {"kernel": jnp.ones((8, 8))},
+                        "fc2": {"kernel": jnp.ones((8, 8))},
+                        "to_q": {"kernel": jnp.ones((8, 8))}}}
+
+    # IA3: identity at init, axis semantics when scaled
+    cfg = IA3Config()
+    ia3 = ia3_init(params, cfg)
+    assert set(ia3) == {("layer", "to_k", "kernel"), ("layer", "fc2", "kernel")}
+    eff = ia3_merge_params(params, ia3, cfg)
+    np.testing.assert_allclose(np.asarray(eff["layer"]["to_k"]["kernel"]), 1.0)
+    ia3[("layer", "to_k", "kernel")]["l"] = jnp.arange(8, dtype=jnp.float32)
+    eff = ia3_merge_params(params, ia3, cfg)
+    np.testing.assert_allclose(np.asarray(eff["layer"]["to_k"]["kernel"][0]),
+                               np.arange(8))  # output-axis scaling
+    ia3[("layer", "fc2", "kernel")]["l"] = jnp.arange(8, dtype=jnp.float32)
+    eff = ia3_merge_params(params, ia3, cfg)
+    np.testing.assert_allclose(np.asarray(eff["layer"]["fc2"]["kernel"][:, 0]),
+                               np.arange(8))  # input-axis scaling
+
+    def base_loss(p, batch, rng):
+        return jnp.sum((batch @ p["layer"]["to_k"]["kernel"] @
+                        p["layer"]["fc2"]["kernel"]) ** 2) * 1e-3
+
+    batch = jnp.ones((2, 8))
+    loss_fn = ia3_loss_fn(base_loss, params, cfg)
+    g = jax.grad(loss_fn)(ia3_init(params, cfg), batch, None)
+    assert float(jnp.abs(g[("layer", "to_k", "kernel")]["l"]).sum()) > 0
+
+    # AdaLoRA: init delta is zero; allocator prunes to target budget
+    acfg = AdaLoraConfig(init_r=4, target_r=1)
+    ada = adalora_init(params, acfg, jax.random.PRNGKey(0))
+    eff = adalora_merge_params(params, ada, acfg)
+    np.testing.assert_allclose(np.asarray(eff["layer"]["to_q"]["kernel"]), 1.0)
+    for path in ada:
+        ada[path]["e"] = jnp.arange(1, 5, dtype=jnp.float32)
+    aloss = adalora_loss_fn(base_loss, params, acfg)
+    grads = jax.grad(aloss)(ada, batch, None)
+    state = allocator_init(ada)
+    ada2, state = allocator_update(ada, grads, state, step=10, total_steps=10,
+                                   config=acfg)
+    total_kept = sum(float(f["mask"].sum()) for f in ada2.values())
+    assert total_kept == acfg.target_r * len(ada)
