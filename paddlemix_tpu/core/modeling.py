@@ -202,6 +202,14 @@ class PretrainedModel:
     ):
         config = cls.config_class.from_pretrained(path_or_repo, subfolder=subfolder, **config_overrides)
         flat = cls._load_flat_state(path_or_repo, subfolder)
+        return cls.from_state_dict(config, flat, dtype=dtype, seed=seed,
+                                   ignore_mismatched_sizes=ignore_mismatched_sizes)
+
+    @classmethod
+    def from_state_dict(cls, config, flat, dtype=jnp.float32, seed: int = 0,
+                        ignore_mismatched_sizes: bool = False):
+        """Build a model from an in-memory foreign state dict (torch-style
+        names; used by from_pretrained and the single-file loader)."""
         flat = cls.convert_foreign_state_dict(flat, config)
         model = cls.from_config(config, seed=seed, dtype=dtype)
         expected = flatten_params(model.params)

@@ -40,3 +40,4 @@ from .schedulers import (
     FlowMatchEulerDiscreteScheduler,
     LCMScheduler,
 )
+from .single_file import load_pipeline_from_single_file

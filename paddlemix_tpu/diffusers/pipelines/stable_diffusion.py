@@ -104,6 +104,14 @@ class StableDiffusionPipeline(DiffusionPipeline):
                                                method=self.vae.module.decode)))
         return decode(self.vae.params, latents).astype(jnp.float32)
 
+    @classmethod
+    def from_single_file(cls, path: str, **kwargs):
+        """Load from one original-LDM checkpoint file (reference
+        loaders/single_file.py FromSingleFileMixin)."""
+        from ..single_file import load_pipeline_from_single_file
+
+        return load_pipeline_from_single_file(path, pipeline_class=cls, **kwargs)
+
     def load_ip_adapter(self, path: str, scale: float = 1.0):
         from ..loaders import load_ip_adapter
 

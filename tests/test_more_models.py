@@ -579,3 +579,114 @@ def test_dance_diffusion_unet1d():
     audio = pipe(num_inference_steps=2, audio_length_in_s=0.016)[0]
     assert audio.shape[0] == 1 and audio.shape[1] == 2
     assert np.isfinite(audio).all() and np.abs(audio).max() <= 1.0
+
+
+def _ldm_resnet(prefix, cin, cout, temb=64):
+    import numpy as onp
+    rng = onp.random.RandomState(hash(prefix) % 2**31)
+    d = {
+        f"{prefix}.in_layers.0.weight": onp.ones(cin, "float32"),
+        f"{prefix}.in_layers.0.bias": onp.zeros(cin, "float32"),
+        f"{prefix}.in_layers.2.weight": rng.randn(cout, cin, 3, 3).astype("float32") * .02,
+        f"{prefix}.in_layers.2.bias": onp.zeros(cout, "float32"),
+        f"{prefix}.emb_layers.1.weight": rng.randn(cout, temb).astype("float32") * .02,
+        f"{prefix}.emb_layers.1.bias": onp.zeros(cout, "float32"),
+        f"{prefix}.out_layers.0.weight": onp.ones(cout, "float32"),
+        f"{prefix}.out_layers.0.bias": onp.zeros(cout, "float32"),
+        f"{prefix}.out_layers.3.weight": rng.randn(cout, cout, 3, 3).astype("float32") * .02,
+        f"{prefix}.out_layers.3.bias": onp.zeros(cout, "float32"),
+    }
+    if cin != cout:
+        d[f"{prefix}.skip_connection.weight"] = rng.randn(cout, cin, 1, 1).astype("float32") * .02
+        d[f"{prefix}.skip_connection.bias"] = onp.zeros(cout, "float32")
+    return d
+
+
+def _ldm_attn(prefix, d, ctx):
+    import numpy as onp
+    rng = onp.random.RandomState(hash(prefix) % 2**31)
+    t = f"{prefix}.transformer_blocks.0"
+    out = {
+        f"{prefix}.norm.weight": onp.ones(d, "float32"),
+        f"{prefix}.norm.bias": onp.zeros(d, "float32"),
+        f"{prefix}.proj_in.weight": rng.randn(d, d, 1, 1).astype("float32") * .02,
+        f"{prefix}.proj_in.bias": onp.zeros(d, "float32"),
+        f"{prefix}.proj_out.weight": rng.randn(d, d, 1, 1).astype("float32") * .02,
+        f"{prefix}.proj_out.bias": onp.zeros(d, "float32"),
+    }
+    for n in ("norm1", "norm2", "norm3"):
+        out[f"{t}.{n}.weight"] = onp.ones(d, "float32")
+        out[f"{t}.{n}.bias"] = onp.zeros(d, "float32")
+    for attn, kdim in (("attn1", d), ("attn2", ctx)):
+        out[f"{t}.{attn}.to_q.weight"] = rng.randn(d, d).astype("float32") * .02
+        out[f"{t}.{attn}.to_k.weight"] = rng.randn(d, kdim).astype("float32") * .02
+        out[f"{t}.{attn}.to_v.weight"] = rng.randn(d, kdim).astype("float32") * .02
+        out[f"{t}.{attn}.to_out.0.weight"] = rng.randn(d, d).astype("float32") * .02
+        out[f"{t}.{attn}.to_out.0.bias"] = onp.zeros(d, "float32")
+    out[f"{t}.ff.net.0.proj.weight"] = rng.randn(8 * d, d).astype("float32") * .02
+    out[f"{t}.ff.net.0.proj.bias"] = onp.zeros(8 * d, "float32")
+    out[f"{t}.ff.net.2.weight"] = rng.randn(d, 4 * d).astype("float32") * .02
+    out[f"{t}.ff.net.2.bias"] = onp.zeros(d, "float32")
+    return out
+
+
+def test_single_file_unet_conversion():
+    import numpy as onp
+    from paddlemix_tpu.diffusers.single_file import convert_ldm_unet
+    from paddlemix_tpu.diffusers.models import (UNet2DConditionConfig,
+                                                UNet2DConditionModel)
+
+    ch0, ch1, ctx, temb = 16, 32, 16, 64
+    p = "model.diffusion_model."
+    sd = {}
+    rng = onp.random.RandomState(0)
+    sd[p + "time_embed.0.weight"] = rng.randn(temb, ch0).astype("float32") * .02
+    sd[p + "time_embed.0.bias"] = onp.zeros(temb, "float32")
+    sd[p + "time_embed.2.weight"] = rng.randn(temb, temb).astype("float32") * .02
+    sd[p + "time_embed.2.bias"] = onp.zeros(temb, "float32")
+    sd[p + "input_blocks.0.0.weight"] = rng.randn(ch0, 4, 3, 3).astype("float32") * .02
+    sd[p + "input_blocks.0.0.bias"] = onp.zeros(ch0, "float32")
+    # down block 0 (cross-attn): 1 layer + downsample
+    sd.update(_ldm_resnet(p + "input_blocks.1.0", ch0, ch0, temb))
+    sd.update(_ldm_attn(p + "input_blocks.1.1", ch0, ctx))
+    sd[p + "input_blocks.2.0.op.weight"] = rng.randn(ch0, ch0, 3, 3).astype("float32") * .02
+    sd[p + "input_blocks.2.0.op.bias"] = onp.zeros(ch0, "float32")
+    # down block 1 (plain): 1 layer, no downsample
+    sd.update(_ldm_resnet(p + "input_blocks.3.0", ch0, ch1, temb))
+    # mid
+    sd.update(_ldm_resnet(p + "middle_block.0", ch1, ch1, temb))
+    sd.update(_ldm_attn(p + "middle_block.1", ch1, ctx))
+    sd.update(_ldm_resnet(p + "middle_block.2", ch1, ch1, temb))
+    # up block 0 (plain, 2 layers) + upsample
+    sd.update(_ldm_resnet(p + "output_blocks.0.0", ch1 + ch1, ch1, temb))
+    sd.update(_ldm_resnet(p + "output_blocks.1.0", ch1 + ch0, ch1, temb))
+    sd[p + "output_blocks.1.1.conv.weight"] = rng.randn(ch1, ch1, 3, 3).astype("float32") * .02
+    sd[p + "output_blocks.1.1.conv.bias"] = onp.zeros(ch1, "float32")
+    # up block 1 (cross-attn, 2 layers, no upsample)
+    sd.update(_ldm_resnet(p + "output_blocks.2.0", ch1 + ch0, ch0, temb))
+    sd.update(_ldm_attn(p + "output_blocks.2.1", ch0, ctx))
+    sd.update(_ldm_resnet(p + "output_blocks.3.0", ch0 + ch0, ch0, temb))
+    sd.update(_ldm_attn(p + "output_blocks.3.1", ch0, ctx))
+    sd[p + "out.0.weight"] = onp.ones(ch0, "float32")
+    sd[p + "out.0.bias"] = onp.zeros(ch0, "float32")
+    sd[p + "out.2.weight"] = rng.randn(4, ch0, 3, 3).astype("float32") * .02
+    sd[p + "out.2.bias"] = onp.zeros(4, "float32")
+
+    cfg = UNet2DConditionConfig.from_dict(dict(
+        sample_size=8, block_out_channels=(ch0, ch1),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1, cross_attention_dim=ctx, attention_head_dim=8,
+        norm_num_groups=8))
+    unet = UNet2DConditionModel.from_state_dict(cfg, convert_ldm_unet(sd, 1))
+    # spot-check weight placement (conv OIHW -> HWIO, linear transpose)
+    onp.testing.assert_allclose(
+        onp.asarray(unet.params["conv_in"]["kernel"]),
+        sd[p + "input_blocks.0.0.weight"].transpose(2, 3, 1, 0))
+    onp.testing.assert_allclose(
+        onp.asarray(unet.params["down_blocks_0"]["attentions_0"]
+                    ["transformer_blocks_0"]["attn2"]["to_k"]["kernel"]),
+        sd[p + "input_blocks.1.1.transformer_blocks.0.attn2.to_k.weight"].T)
+    out = unet.module.apply({"params": unet.params}, jnp.zeros((1, 8, 8, 4)),
+                            jnp.ones((1,)), jnp.zeros((1, 4, ctx)))
+    assert out.shape == (1, 8, 8, 4)

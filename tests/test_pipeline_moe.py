@@ -158,3 +158,38 @@ def test_ia3_and_adalora():
                                    config=acfg)
     total_kept = sum(float(f["mask"].sum()) for f in ada2.values())
     assert total_kept == acfg.target_r * len(ada)
+
+
+def test_fid_and_clip_score():
+    from paddlemix_tpu.metrics.fid_clip_score import compute_fid
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(256, 16)
+    # identical distributions -> ~0; shifted -> ~ ||shift||^2
+    assert compute_fid(a, a.copy()) < 1e-6
+    b = a + 3.0
+    fid = compute_fid(a, b)
+    assert abs(fid - 9.0 * 16) < 1.0
+
+
+def test_value_guided_rl_planning():
+    from paddlemix_tpu.diffusers import DDPMScheduler
+    from paddlemix_tpu.diffusers.experimental import ValueGuidedRLPipeline
+    from paddlemix_tpu.diffusers.models import UNet1DConfig, UNet1DModel
+
+    state_dim, action_dim, horizon = 6, 2, 32
+    ch = state_dim + action_dim
+    unet = UNet1DModel.from_config(UNet1DConfig(
+        sample_size=horizon, in_channels=ch, out_channels=ch,
+        block_out_channels=(8, 8, 16)))
+    # value function: same 1D net; value = sum of its output
+    value_fn = UNet1DModel.from_config(UNet1DConfig(
+        sample_size=horizon, in_channels=ch, out_channels=1,
+        block_out_channels=(8, 8, 16)), seed=1)
+    pipe = ValueGuidedRLPipeline(value_fn, unet, DDPMScheduler(),
+                                 state_dim=state_dim, action_dim=action_dim)
+    action = pipe(np.zeros(state_dim, np.float32), batch_size=4,
+                  planning_horizon=horizon, n_guide_steps=1,
+                  num_inference_steps=2)
+    assert action.shape == (action_dim,)
+    assert np.isfinite(action).all()
