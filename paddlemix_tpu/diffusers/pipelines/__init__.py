@@ -33,3 +33,4 @@ from .unidiffuser import (
     UniDiffuserTextDecoder,
 )
 from .dance_diffusion import DanceDiffusionPipeline
+from .musicldm import MusicLDMPipeline

@@ -50,6 +50,7 @@ class Blip2Config(BaseConfig):
     qformer_config: Optional[Dict[str, Any]] = None
     text_config: Optional[Dict[str, Any]] = None
     num_query_tokens: int = 32
+    lm_type: str = "opt"  # "opt" | "t5" (FlanT5 variant, reference stage-2)
 
     def __post_init__(self):
         self.vision_config = self.vision_config or {}
@@ -67,7 +68,11 @@ class Blip2Config(BaseConfig):
         return QFormerConfig.from_dict(self.qformer_config)
 
     @property
-    def text(self) -> OPTConfig:
+    def text(self):
+        if self.lm_type == "t5":
+            from ..t5.modeling import T5Config
+
+            return T5Config.from_dict(self.text_config)
         return OPTConfig.from_dict(self.text_config)
 
 
@@ -135,8 +140,15 @@ class Blip2Module(nn.Module):
             "query_tokens", nn.initializers.normal(0.02),
             (1, cfg.num_query_tokens, cfg.qformer.hidden_size))
         self.qformer = QFormer(cfg.qformer, dtype=self.dtype)
-        self.language_projection = nn.Dense(cfg.text.hidden_size, dtype=self.dtype)
-        self.language_model = OPTModule(cfg.text, dtype=self.dtype)
+        if cfg.lm_type == "t5":
+            from ..t5.modeling import T5ForConditionalGenerationModule
+
+            self.language_projection = nn.Dense(cfg.text.d_model, dtype=self.dtype)
+            self.language_model = T5ForConditionalGenerationModule(
+                cfg.text, dtype=self.dtype)
+        else:
+            self.language_projection = nn.Dense(cfg.text.hidden_size, dtype=self.dtype)
+            self.language_model = OPTModule(cfg.text, dtype=self.dtype)
 
     def encode_image(self, pixel_values):
         """pixels -> (B, num_query_tokens, lm_hidden) query features."""
@@ -148,9 +160,20 @@ class Blip2Module(nn.Module):
         return self.language_projection(q)
 
     def __call__(self, pixel_values, input_ids, positions=None, *, segment_ids=None,
-                 cache: Optional[KVCache] = None):
+                 cache: Optional[KVCache] = None, decoder_input_ids=None):
         """Stage-2 captioning: [query feats; text] through the frozen LLM."""
         query_feats = self.encode_image(pixel_values)
+        if self.config.lm_type == "t5":
+            # FlanT5: [query feats; prompt] form the ENCODER input, the T5
+            # decoder generates (reference blip2/modeling.py forward_stage2
+            # T5 branch)
+            text_embeds = self.language_model.shared(input_ids)
+            enc_in = jnp.concatenate([query_feats.astype(text_embeds.dtype),
+                                      text_embeds], axis=1)
+            enc = self.language_model.encode(None, inputs_embeds=enc_in)
+            if decoder_input_ids is None:
+                decoder_input_ids = jnp.zeros((input_ids.shape[0], 1), jnp.int32)
+            return self.language_model.decode(decoder_input_ids, enc, cache=cache)
         text_embeds = self.language_model.embed(input_ids)
         inputs_embeds = jnp.concatenate([query_feats.astype(text_embeds.dtype),
                                          text_embeds], axis=1)

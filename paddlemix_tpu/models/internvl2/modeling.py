@@ -10,6 +10,7 @@ InternLM2/Phi3 variants map onto the same decoder with their key maps."""
 from __future__ import annotations
 
 import dataclasses
+import re
 from typing import Any, Dict, Optional
 
 import jax
@@ -125,9 +126,62 @@ class InternVLChatModule(nn.Module):
                                    segment_ids=segment_ids, cache=cache)
 
 
+_INTERNVL_KEY_MAP = (
+    # vision + mlp projector keep HF names handled below; LLM renames:
+    (r"^language_model\.model\.", r"language_model."),
+    (r"language_model\.embed_tokens\.weight$", r"language_model.embed_tokens.embedding"),
+    (r"language_model\.tok_embeddings\.weight$", r"language_model.embed_tokens.embedding"),
+    (r"\.layers\.(\d+)\.", r".layers_\1."),
+    # InternLM2 naming (reference paddlemix/models/internvl2/internlm2/
+    # modeling_internlm2.py): attention.wo/feed_forward.w1/w3/w2,
+    # attention_norm/ffn_norm -> llama-style module names
+    (r"\.attention\.wo\.", r".self_attn.o_proj."),
+    (r"\.feed_forward\.w1\.", r".mlp.gate_proj."),
+    (r"\.feed_forward\.w3\.", r".mlp.up_proj."),
+    (r"\.feed_forward\.w2\.", r".mlp.down_proj."),
+    (r"\.attention_norm\.", r".input_layernorm."),
+    (r"\.ffn_norm\.", r".post_attention_layernorm."),
+    (r"^language_model\.output\.weight$", r"SKIP.lm_head"),
+    (r"(layernorm|norm)\.weight$", r"\1.scale"),
+    (r"\.weight$", r".kernel"),
+)
+
+
 class InternVLChatModel(PretrainedModel):
     config_class = InternVLChatConfig
     module_class = InternVLChatModule
+    torch_key_map = _INTERNVL_KEY_MAP
+
+    @classmethod
+    def convert_foreign_state_dict(cls, flat, config):
+        """HF InternVL2 checkpoints: split InternLM2's fused wqkv into
+        q/k/v before the regex renames (grouped layout: per kv group
+        [g q-heads, k, v] rows)."""
+        import numpy as np
+
+        from ...core.modeling import convert_torch_state_dict
+
+        t = config.text
+        g = t.num_attention_heads // t.num_key_value_heads
+        hd = t.hidden_size // t.num_attention_heads
+        out = {}
+        for k, v in flat.items():
+            m = re.match(r"(.*\.attention)\.wqkv\.weight$", k)
+            if m:
+                w = np.asarray(v).reshape(t.num_key_value_heads, g + 2, hd, -1)
+                out[m.group(1) + ".q_proj.weight"] = \
+                    w[:, :g].reshape(t.num_attention_heads * hd, -1)
+                out[m.group(1) + ".k_proj.weight"] = \
+                    w[:, g].reshape(t.num_key_value_heads * hd, -1)
+                out[m.group(1) + ".v_proj.weight"] = \
+                    w[:, g + 1].reshape(t.num_key_value_heads * hd, -1)
+            else:
+                out[k] = v
+        out = {k.replace(".attention.q_proj", ".self_attn.q_proj")
+                .replace(".attention.k_proj", ".self_attn.k_proj")
+                .replace(".attention.v_proj", ".self_attn.v_proj"): v
+               for k, v in out.items()}
+        return convert_torch_state_dict(out, cls.torch_key_map)
 
     @classmethod
     def example_inputs(cls, config):

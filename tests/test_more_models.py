@@ -690,3 +690,34 @@ def test_single_file_unet_conversion():
     out = unet.module.apply({"params": unet.params}, jnp.zeros((1, 8, 8, 4)),
                             jnp.ones((1,)), jnp.zeros((1, 4, ctx)))
     assert out.shape == (1, 8, 8, 4)
+
+
+def test_musicldm_pipeline():
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pipelines import tiny_tokenizer, tiny_unet
+    from paddlemix_tpu.diffusers import DDIMScheduler
+    from paddlemix_tpu.diffusers.models import AutoencoderKL, AutoencoderKLConfig
+    from paddlemix_tpu.diffusers.pipelines import MusicLDMPipeline
+    from paddlemix_tpu.models.audioldm import HiFiGANConfig, HiFiGANVocoder
+    from paddlemix_tpu.models.audioldm2 import ClapTextConfig, ClapTextModelWithProjection
+
+    tok = tiny_tokenizer()
+    clap = ClapTextModelWithProjection.from_config(ClapTextConfig(
+        vocab_size=tok.vocab_size, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32, max_position_embeddings=64,
+        projection_dim=32))
+    vae = AutoencoderKL.from_config(AutoencoderKLConfig(
+        in_channels=1, out_channels=1, block_out_channels=(8, 16),
+        down_block_types=("DownEncoderBlock2D",) * 2,
+        up_block_types=("UpDecoderBlock2D",) * 2, layers_per_block=1,
+        latent_channels=4, norm_num_groups=4))
+    vocoder = HiFiGANVocoder.from_config(HiFiGANConfig(
+        model_in_dim=16, upsample_initial_channel=32,
+        upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),)))
+    pipe = MusicLDMPipeline(vae=vae, text_encoder=clap, tokenizer=tok,
+                            unet=tiny_unet(), scheduler=DDIMScheduler(),
+                            vocoder=vocoder)
+    audio = pipe("upbeat jazz", audio_length_in_s=0.032, num_inference_steps=2)[0]
+    assert audio.ndim == 2 and np.isfinite(audio).all()

@@ -41,3 +41,53 @@ def test_t5_relu_variant(tmp_path):
         hf_out = hf(input_ids=torch.tensor(ids)).last_hidden_state.numpy()
     out, _ = model(jnp.asarray(ids.astype(np.int32)))
     np.testing.assert_allclose(np.asarray(out), hf_out, atol=3e-3)
+
+
+def test_t5_decoder_and_generate():
+    import jax.numpy as jnp
+    from paddlemix_tpu.models.t5 import T5Config, T5ForConditionalGeneration
+
+    cfg = T5Config(vocab_size=64, d_model=16, d_kv=8, d_ff=32, num_layers=2,
+                   num_heads=2)
+    m = T5ForConditionalGeneration.from_config(cfg)
+    logits = m.module.apply({"params": m.params}, jnp.arange(6)[None],
+                            jnp.arange(3)[None])
+    assert logits.shape == (1, 3, 64)
+    out = m.generate(jnp.arange(6)[None], max_new_tokens=4)
+    assert out.shape == (1, 4)
+
+    # cached decode must match the full decoder forward
+    enc = m.module.apply({"params": m.params}, jnp.arange(6)[None], None,
+                         method=type(m.module).encode)
+    dec_ids = jnp.asarray([[0, 5, 9]])
+    full, _ = m.module.apply({"params": m.params}, dec_ids, enc,
+                             method=type(m.module).decode)
+    cache = m.init_cache(1, 4)
+    outs = []
+    for i, t in enumerate([0, 5, 9]):
+        lg, cache = m.module.apply({"params": m.params}, jnp.asarray([[t]]), enc,
+                                   positions=jnp.asarray([[i]]), cache=cache,
+                                   method=type(m.module).decode)
+        outs.append(lg[:, 0])
+    assert float(jnp.abs(full - jnp.stack(outs, 1)).max()) < 1e-4
+
+
+def test_blip2_flant5_variant():
+    import jax.numpy as jnp
+    from paddlemix_tpu.models.blip2 import Blip2Config, Blip2ForConditionalGeneration
+
+    cfg = Blip2Config(
+        vision_config=dict(image_size=32, patch_size=8, hidden_size=16,
+                           num_hidden_layers=1, num_attention_heads=2,
+                           intermediate_size=32),
+        qformer_config=dict(hidden_size=16, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=32,
+                            encoder_hidden_size=16),
+        text_config=dict(vocab_size=64, d_model=16, d_kv=8, d_ff=32,
+                         num_layers=1, num_heads=2),
+        num_query_tokens=4, lm_type="t5")
+    m = Blip2ForConditionalGeneration.from_config(cfg)
+    logits, _ = m.module.apply({"params": m.params}, jnp.zeros((1, 32, 32, 3)),
+                               jnp.arange(5)[None],
+                               decoder_input_ids=jnp.zeros((1, 2), jnp.int32))
+    assert logits.shape == (1, 2, 64)
