@@ -41,3 +41,8 @@ from .schedulers import (
     LCMScheduler,
 )
 from .single_file import load_pipeline_from_single_file
+from .auto_pipeline import (
+    AutoPipelineForImage2Image,
+    AutoPipelineForInpainting,
+    AutoPipelineForText2Image,
+)

@@ -34,3 +34,5 @@ from .unidiffuser import (
 )
 from .dance_diffusion import DanceDiffusionPipeline
 from .musicldm import MusicLDMPipeline
+from .pixart_alpha import PixArtAlphaPipeline
+from .shap_e import ShapEPipeline, ShapEPrior, ShapEPriorConfig, ShapERenderer, ShapERendererConfig

@@ -62,6 +62,20 @@ def resolve_component_class(class_name: str) -> Optional[type]:
         return None
 
 
+def make_scheduler_state(scheduler, num_inference_steps, sample_shape=None,
+                         **kwargs):
+    """set_timesteps that forwards sample_shape only to schedulers carrying
+    per-sample history (DPM-solver family); jit/fori_loop carries need the
+    history buffers shaped like the latents."""
+    import inspect
+
+    sig = inspect.signature(scheduler.set_timesteps)
+    if sample_shape is not None and "sample_shape" in sig.parameters:
+        return scheduler.set_timesteps(num_inference_steps,
+                                       sample_shape=sample_shape, **kwargs)
+    return scheduler.set_timesteps(num_inference_steps, **kwargs)
+
+
 class DiffusionPipeline:
     """Component container. Subclasses declare components via __init__ args."""
 

@@ -22,7 +22,7 @@ import numpy as np
 
 from ...utils.log import logger
 from ..image_processor import VaeImageProcessor
-from .pipeline_utils import DiffusionPipeline, register_pipeline
+from .pipeline_utils import DiffusionPipeline, make_scheduler_state, register_pipeline
 
 
 class _JitCache:
@@ -158,7 +158,8 @@ class StableDiffusionPipeline(DiffusionPipeline):
         shape = (batch, height // self.vae_scale_factor, width // self.vae_scale_factor, lat_ch)
         if latents is None:
             latents = jax.random.normal(jax.random.PRNGKey(seed), shape, dtype=jnp.float32)
-        state = self.scheduler.set_timesteps(num_inference_steps)
+        state = make_scheduler_state(self.scheduler, num_inference_steps,
+                                     sample_shape=shape)
         latents = latents * self.scheduler.init_noise_sigma
 
         denoise = self._jit.get(("denoise", shape, num_inference_steps, do_cfg),
@@ -250,7 +251,8 @@ class StableDiffusionXLPipeline(DiffusionPipeline):
         shape = (batch, height // self.vae_scale_factor, width // self.vae_scale_factor, lat_ch)
         if latents is None:
             latents = jax.random.normal(jax.random.PRNGKey(seed), shape, dtype=jnp.float32)
-        state = self.scheduler.set_timesteps(num_inference_steps)
+        state = make_scheduler_state(self.scheduler, num_inference_steps,
+                                     sample_shape=shape)
         latents = latents * self.scheduler.init_noise_sigma
 
         unet, scheduler = self.unet, self.scheduler

@@ -721,3 +721,78 @@ def test_musicldm_pipeline():
                             vocoder=vocoder)
     audio = pipe("upbeat jazz", audio_length_in_s=0.032, num_inference_steps=2)[0]
     assert audio.ndim == 2 and np.isfinite(audio).all()
+
+
+def test_yolo_world():
+    from paddlemix_tpu.models.yolo_world import (YOLOWorldConfig, YOLOWorldModel,
+                                                 simple_nms)
+
+    cfg = YOLOWorldConfig(base_channels=8, depth_mult=0.34, width_mult=1.0,
+                          text_channels=16, embed_dims=16,
+                          neck_embed_channels=(8, 16, 16),
+                          neck_num_heads=(1, 2, 2), num_csp_blocks=1, reg_max=4)
+    m = YOLOWorldModel.from_config(cfg)
+    img = jnp.zeros((1, 64, 64, 3))
+    txt = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 16))
+    logits, boxes = m.module.apply({"params": m.params}, img, txt)
+    n = (64 // 8) ** 2 + (64 // 16) ** 2 + (64 // 32) ** 2
+    assert logits.shape == (1, n, 3)
+    assert boxes.shape == (1, n, 4)
+    assert np.isfinite(np.asarray(boxes)).all()
+
+    # NMS: two identical boxes -> one survives
+    b = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30]],
+                    jnp.float32)
+    s = jnp.asarray([0.9, 0.8, 0.7])
+    order, keep = simple_nms(b, s, top_k=3)
+    assert int(keep.sum()) == 2
+    assert bool(keep[0]) and not bool(keep[1])
+
+
+def test_pixart_alpha_pipeline():
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pipelines import tiny_tokenizer, tiny_vae
+    from paddlemix_tpu.diffusers import DPMSolverMultistepScheduler
+    from paddlemix_tpu.diffusers.models import PixArtConfig, PixArtTransformer2DModel
+    from paddlemix_tpu.diffusers.pipelines import PixArtAlphaPipeline
+    from paddlemix_tpu.models.t5 import T5Config, T5EncoderModel
+
+    tok = tiny_tokenizer()
+    t5 = T5EncoderModel.from_config(T5Config(
+        vocab_size=tok.vocab_size, d_model=16, d_kv=8, d_ff=32, num_layers=1,
+        num_heads=2))
+    tf = PixArtTransformer2DModel.from_config(PixArtConfig(
+        sample_size=8, patch_size=2, in_channels=4, out_channels=8,
+        num_layers=2, num_attention_heads=2, attention_head_dim=8,
+        caption_channels=16))
+    pipe = PixArtAlphaPipeline(tokenizer=tok, text_encoder=t5, vae=tiny_vae(),
+                               transformer=tf,
+                               scheduler=DPMSolverMultistepScheduler())
+    img = pipe("a red square", num_inference_steps=2, output_type="np")[0]
+    assert img.shape == (1, 16, 16, 3)
+    assert np.isfinite(img).all()
+
+
+def test_shap_e_pipeline():
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pipelines import tiny_text_encoder, tiny_tokenizer
+    from paddlemix_tpu.diffusers import DDPMScheduler
+    from paddlemix_tpu.diffusers.pipelines import (
+        ShapEPipeline, ShapEPrior, ShapEPriorConfig, ShapERenderer,
+        ShapERendererConfig)
+
+    tok = tiny_tokenizer()
+    prior = ShapEPrior.from_config(ShapEPriorConfig(
+        num_latent_tokens=32, d_latent=16, num_attention_heads=2,
+        attention_head_dim=8, num_layers=1, clip_embed_dim=16))
+    renderer = ShapERenderer.from_config(ShapERendererConfig(
+        d_latent=16, d_hidden=8, n_hidden_layers=6, n_projected_layers=4))
+    pipe = ShapEPipeline(prior=prior,
+                         text_encoder=tiny_text_encoder(tok, dim=16),
+                         tokenizer=tok, scheduler=DDPMScheduler(clip_sample=False),
+                         shap_e_renderer=renderer)
+    views = pipe("a chair", num_inference_steps=2, frame_size=16, n_views=2)[0]
+    assert views.shape == (1, 2, 16, 16, 3)
+    assert np.isfinite(views).all()

@@ -174,3 +174,16 @@ def test_textual_inversion(sd_pipe, tmp_path):
     out = sd_pipe("a photo of <concept>", height=32, width=32, num_inference_steps=2,
                   output_type="latent")[0]
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_auto_pipeline_task_remap(tmp_path, sd_pipe):
+    from paddlemix_tpu.diffusers import (AutoPipelineForImage2Image,
+                                         AutoPipelineForText2Image)
+    from paddlemix_tpu.diffusers.pipelines import StableDiffusionImg2ImgPipeline
+
+    path = str(tmp_path / "sd")
+    sd_pipe.save_pretrained(path)
+    t2i = AutoPipelineForText2Image.from_pretrained(path)
+    assert type(t2i).__name__ == "StableDiffusionPipeline"
+    i2i = AutoPipelineForImage2Image.from_pretrained(path)
+    assert isinstance(i2i, StableDiffusionImg2ImgPipeline)
