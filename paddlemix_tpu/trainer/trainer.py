@@ -164,6 +164,24 @@ class Trainer:
             self._ckpt_mgr.wait_until_finished()
 
     # ------------------------------------------------------------ loop
+    def install_preemption_handler(self):
+        """TPU preemption safety (SURVEY §5: 'preemption-signal save'):
+        SIGTERM/SIGINT set a flag; the train loop checkpoints at the next
+        step boundary and exits cleanly instead of dying mid-write."""
+        import signal
+
+        self._preempted = False
+
+        def _handler(signum, frame):
+            logger.warning("signal %d received; will checkpoint and stop", signum)
+            self._preempted = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, _handler)
+            except ValueError:  # non-main thread
+                break
+
     def train(self, max_steps: Optional[int] = None):
         a = self.args
         assert self.train_dataloader is not None and self.loss_fn is not None
@@ -216,7 +234,11 @@ class Trainer:
                         cb(step=step, metrics={**metrics, "ips": ips})
                 if a.save_steps and step % a.save_steps == 0:
                     self.save_checkpoint(step)
-            if step >= total:
+                if getattr(self, "_preempted", False):
+                    logger.warning("preemption: saving checkpoint at step %d", step)
+                    self.save_checkpoint(step)
+                    break
+            if step >= total or getattr(self, "_preempted", False):
                 break
         self.finalize_checkpoints()
         return {"final_step": step, **{k: float(v) for k, v in metrics.items()

@@ -195,3 +195,30 @@ def test_callbacks(tmp_path):
                 train_dataloader=[make_batch(bs=2, seed=i) for i in range(4)])
     t.train()
     assert any(type(c).__name__ == "BenchmarkCallback" for c in t.callbacks)
+
+
+def test_preemption_checkpoint(tmp_path):
+    """SIGTERM mid-training saves a checkpoint and stops cleanly."""
+    import os
+    import signal
+
+    model = LlamaForCausalLM.from_config(CFG, seed=0)
+    data = [make_batch(bs=4, seed=i) for i in range(8)]
+    args = TrainingArguments(output_dir=str(tmp_path), learning_rate=1e-3,
+                             max_steps=50, logging_steps=1, save_steps=0,
+                             num_train_epochs=10)
+
+    class Hook:
+        n = 0
+
+        def __call__(self, step, metrics):
+            Hook.n += 1
+            if Hook.n == 2:
+                os.kill(os.getpid(), signal.SIGTERM)
+
+    trainer = Trainer(model=model, args=args, loss_fn=loss_fn_for(model),
+                      train_dataloader=data, callbacks=[Hook()])
+    trainer.install_preemption_handler()
+    result = trainer.train()
+    assert result["final_step"] < 50
+    assert os.path.isdir(tmp_path / "checkpoints")
