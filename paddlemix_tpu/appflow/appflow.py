@@ -177,3 +177,87 @@ class OpenSetDetSamTask(AppTask):
         return {"result": {"boxes": boxes_np,
                            "scores": np.asarray(scores[0])[keep],
                            "masks": np.stack(masks) if masks else np.zeros((0,))}}
+
+
+@register_task("text2video_generation")
+class Text2VideoTask(AppTask):
+    """Reference appflow/text2video_generation.py: motion-UNet pipeline."""
+
+    def _construct(self):
+        self.pipe = self.model  # TextToVideoPipeline or path
+
+    def _run_model(self, inputs):
+        prompt = inputs.pop("prompt")
+        frames = self.pipe(prompt, **{k: v for k, v in inputs.items()
+                                      if k in ("num_frames", "num_inference_steps",
+                                               "guidance_scale", "seed")})[0]
+        return {"result": frames}
+
+
+@register_task("image2image_generation")
+class Image2ImageTask(AppTask):
+    """Reference appflow/image2image_text_guided_generation.py."""
+
+    def _construct(self):
+        self.pipe = self.model
+
+    def _run_model(self, inputs):
+        out = self.pipe(inputs.pop("prompt"), image=inputs.pop("image"),
+                        **{k: v for k, v in inputs.items()
+                           if k in ("strength", "num_inference_steps",
+                                    "guidance_scale", "seed")})[0]
+        return {"result": out}
+
+
+@register_task("inpainting")
+class InpaintingTask(AppTask):
+    """Reference appflow/image_inpainting.py (+ Inpainting application)."""
+
+    def _construct(self):
+        self.pipe = self.model
+
+    def _run_model(self, inputs):
+        out = self.pipe(inputs.pop("prompt"), image=inputs.pop("image"),
+                        mask_image=inputs.pop("mask"),
+                        **{k: v for k, v in inputs.items()
+                           if k in ("num_inference_steps", "guidance_scale", "seed")})[0]
+        return {"result": out}
+
+
+@register_task("music_generation")
+class MusicGenerationTask(AppTask):
+    """Reference applications/MusicGeneration (audioldm/musicldm backends)."""
+
+    def _construct(self):
+        self.pipe = self.model
+
+    def _run_model(self, inputs):
+        audio = self.pipe(inputs.pop("prompt"),
+                          **{k: v for k, v in inputs.items()
+                             if k in ("audio_length_in_s", "num_inference_steps",
+                                      "guidance_scale", "seed")})[0]
+        return {"result": audio}
+
+
+@register_task("automatic_label")
+class AutomaticLabelTask(AppTask):
+    """Reference appflow/automatic_label.py (+ Automatic_label application):
+    caption the image with a VLM, then ground the caption's nouns with
+    open-set detection + SAM masks."""
+
+    def _construct(self):
+        vlm, det, sam = self.model
+        from .helpers import load_vlm
+
+        self.vlm = load_vlm(vlm) if isinstance(vlm, str) else vlm
+        self.det_sam = OpenSetDetSamTask(task="openset_det_sam", model=(det, sam))
+
+    def _run_model(self, inputs):
+        caption = self.vlm.answer(image=inputs["image"],
+                                  prompt=inputs.get("prompt", "describe the image"))
+        det_inputs = {"image": inputs["image"],
+                      "prompt": inputs.get("labels_prompt", caption)}
+        det_out = self.det_sam._run_model(det_inputs)
+        return {"result": {"caption": caption, **det_out["result"]}
+                if isinstance(det_out.get("result"), dict)
+                else {"caption": caption, "detection": det_out.get("result")}}

@@ -92,7 +92,11 @@ class PretrainedModel:
 
     def __init__(self, config, module=None, params=None, dtype=jnp.float32):
         self.config = config
-        self.module = module if module is not None else self.module_class(config)
+        # the module must receive the compute dtype: flax layers compute in
+        # THEIR dtype field, so dropping it here silently runs fp32 math
+        # (8x slower on the MXU) under bf16 params
+        self.module = module if module is not None else self.module_class(
+            config, dtype=dtype)
         self.params = params
         self.dtype = dtype
 
@@ -112,7 +116,7 @@ class PretrainedModel:
 
     @classmethod
     def from_config(cls, config, seed: int = 0, dtype=jnp.float32):
-        module = cls.module_class(config)
+        module = cls.module_class(config, dtype=dtype)
         args, kwargs = cls.example_inputs(config)
         params = module.init(jax.random.PRNGKey(seed), *args, **kwargs)["params"]
         params = cast_floating(unfreeze(params), dtype)

@@ -24,3 +24,4 @@ from .wuerstchen import (
 from .stable_cascade import StableCascadeUNet, StableCascadeUNetConfig
 from .unet_1d import UNet1DConfig, UNet1DModel
 from .pixart import PixArtConfig, PixArtTransformer2DModel
+from .kandinsky3 import Kandinsky3UNet, Kandinsky3UNetConfig

@@ -36,3 +36,4 @@ from .dance_diffusion import DanceDiffusionPipeline
 from .musicldm import MusicLDMPipeline
 from .pixart_alpha import PixArtAlphaPipeline
 from .shap_e import ShapEPipeline, ShapEPrior, ShapEPriorConfig, ShapERenderer, ShapERendererConfig
+from .kandinsky3 import Kandinsky3Pipeline

@@ -433,7 +433,11 @@ def flash_attention(
     scale = (d ** -0.5) if scale is None else scale
     # block-size sweep on v5e (S=4096/1024, D=64, bf16): 2048x1024 beats
     # 512x1024 by ~13% (fewer grid revisits amortize the m/acc rescales);
-    # the shrink-to-fit loop lands on 1024x1024 at S=1024, also the winner
+    # the shrink-to-fit loop lands on 1024x1024 at S=1024, also the winner.
+    # fp32 inputs double the q/k/v/p tile bytes — 2048x1024 then overflows
+    # the 16MB scoped VMEM, so clamp.
+    if q.dtype == jnp.float32:
+        block_q = min(block_q, 1024)
     block_q = min(block_q, max(128, sq))
     block_k = min(block_k, max(128, skv))
     while sq % block_q and block_q > 128:

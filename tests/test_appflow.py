@@ -130,3 +130,33 @@ def test_openset_det_sam_chain():
     assert res["boxes"].shape[1] == 4
     if len(res["boxes"]):
         assert res["masks"].shape[0] == len(res["boxes"])
+
+
+def test_appflow_new_tasks_registered():
+    from paddlemix_tpu.appflow.appflow import APPLICATIONS
+
+    for task in ("text2video_generation", "image2image_generation",
+                 "inpainting", "music_generation", "automatic_label"):
+        assert task in APPLICATIONS
+
+
+def test_appflow_inpainting_runs():
+    import sys
+    sys.path.insert(0, "tests")
+    import numpy as np
+    from test_pipelines import tiny_text_encoder, tiny_tokenizer, tiny_vae
+    from paddlemix_tpu.appflow import Appflow
+    from paddlemix_tpu.diffusers import DDIMScheduler
+    from paddlemix_tpu.diffusers.pipelines import StableDiffusionInpaintPipeline
+    from test_pipelines import tiny_unet
+
+    tok = tiny_tokenizer()
+    pipe = StableDiffusionInpaintPipeline(
+        vae=tiny_vae(), text_encoder=tiny_text_encoder(tok), tokenizer=tok,
+        unet=tiny_unet(), scheduler=DDIMScheduler())
+    app = Appflow(app="inpainting", models=[pipe])
+    img = np.zeros((32, 32, 3), np.float32)
+    mask = np.ones((32, 32), np.float32)
+    out = app(prompt="a cat", image=img, mask=mask, num_inference_steps=2,
+              seed=0)
+    assert "result" in out

@@ -796,3 +796,35 @@ def test_shap_e_pipeline():
     views = pipe("a chair", num_inference_steps=2, frame_size=16, n_views=2)[0]
     assert views.shape == (1, 2, 16, 16, 3)
     assert np.isfinite(views).all()
+
+
+def test_kandinsky3_pipeline():
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pipelines import tiny_tokenizer
+    from paddlemix_tpu.diffusers import DDPMScheduler
+    from paddlemix_tpu.diffusers.models import (Kandinsky3UNet,
+                                                Kandinsky3UNetConfig, VQModel,
+                                                VQModelConfig)
+    from paddlemix_tpu.diffusers.pipelines import Kandinsky3Pipeline
+    from paddlemix_tpu.models.t5 import T5Config, T5EncoderModel
+
+    tok = tiny_tokenizer()
+    t5 = T5EncoderModel.from_config(T5Config(
+        vocab_size=tok.vocab_size, d_model=16, d_kv=8, d_ff=32, num_layers=1,
+        num_heads=2))
+    unet = Kandinsky3UNet.from_config(Kandinsky3UNetConfig(
+        in_channels=4, time_embedding_dim=32, groups=4, attention_head_dim=8,
+        layers_per_block=1, block_out_channels=(16, 32),
+        cross_attention_dim=16, encoder_hid_dim=16,
+        add_cross_attention=(False, True), add_self_attention=(False, True)))
+    movq = VQModel.from_config(VQModelConfig(
+        block_out_channels=(8, 16), down_block_types=("DownEncoderBlock2D",) * 2,
+        up_block_types=("UpDecoderBlock2D",) * 2, layers_per_block=1,
+        latent_channels=4, norm_num_groups=4, num_vq_embeddings=32))
+    pipe = Kandinsky3Pipeline(tokenizer=tok, text_encoder=t5, unet=unet,
+                              scheduler=DDPMScheduler(clip_sample=False), movq=movq)
+    img = pipe("a red cat", height=32, width=32, num_inference_steps=2,
+               output_type="np")[0]
+    assert img.shape == (1, 32, 32, 3)
+    assert np.isfinite(img).all()
