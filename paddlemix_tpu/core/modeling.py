@@ -81,6 +81,11 @@ def load_torch_bin(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def _dtype_kw(module_class, dtype):
+    fields = getattr(module_class, "__dataclass_fields__", {})
+    return {"dtype": dtype} if "dtype" in fields else {}
+
+
 class PretrainedModel:
     """Base wrapper: config + flax module + params."""
 
@@ -95,8 +100,9 @@ class PretrainedModel:
         # the module must receive the compute dtype: flax layers compute in
         # THEIR dtype field, so dropping it here silently runs fp32 math
         # (8x slower on the MXU) under bf16 params
-        self.module = module if module is not None else self.module_class(
-            config, dtype=dtype)
+        if module is None:
+            module = self.module_class(config, **_dtype_kw(self.module_class, dtype))
+        self.module = module
         self.params = params
         self.dtype = dtype
 
@@ -116,7 +122,7 @@ class PretrainedModel:
 
     @classmethod
     def from_config(cls, config, seed: int = 0, dtype=jnp.float32):
-        module = cls.module_class(config, dtype=dtype)
+        module = cls.module_class(config, **_dtype_kw(cls.module_class, dtype))
         args, kwargs = cls.example_inputs(config)
         params = module.init(jax.random.PRNGKey(seed), *args, **kwargs)["params"]
         params = cast_floating(unfreeze(params), dtype)
