@@ -168,18 +168,22 @@ class LlamaModule(nn.Module):
     def __call__(self, input_ids=None, positions=None, *, inputs_embeds=None,
                  segment_ids=None, cache: Optional[KVCache] = None,
                  return_hidden: bool = False, rope_override=None):
+        from ...parallel.sharding import shard_activations
+
         cfg = self.config
         x = self.embed_tokens(input_ids) if inputs_embeds is None else inputs_embeds
         b, s = x.shape[:2]
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s), (b, s))
 
+        x = shard_activations(x)
         new_caches_k, new_caches_v = [], []
         for i, layer in enumerate(self.layers):
             layer_cache = None if cache is None else (cache.k[i], cache.v[i])
             x, new_cache = layer(x, positions, segment_ids=segment_ids, cache_kv=layer_cache,
                                  cache_lengths=None if cache is None else cache.lengths,
                                  rope_override=rope_override)
+            x = shard_activations(x)
             if new_cache is not None:
                 new_caches_k.append(new_cache[0])
                 new_caches_v.append(new_cache[1])

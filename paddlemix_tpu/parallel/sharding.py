@@ -29,7 +29,9 @@ Rules = Sequence[Tuple[str, P]]
 TRANSFORMER_RULES: Rules = (
     (r".*(q_proj|k_proj|v_proj|qkv|query|key|value|gate_proj|up_proj|fc1|wi|to_q|to_k|to_v)\.kernel$", P("fsdp", "tensor")),
     (r".*(o_proj|out_proj|dense|down_proj|fc2|wo|to_out.*|proj_out)\.kernel$", P("tensor", "fsdp")),
-    (r".*(embed_tokens|wte|token_embedding|shared)\.embedding$", P("tensor", "fsdp")),
+    # embeddings: gather over a tensor-sharded vocab forces GSPMD full
+    # rematerialization; shard vocab over fsdp only (ZeRO-style all-gather)
+    (r".*(embed_tokens|wte|token_embedding|shared)\.embedding$", P("fsdp", None)),
     (r".*(lm_head|head|output_projection)\.kernel$", P("fsdp", "tensor")),
     (r".*\.kernel$", P(None, "fsdp")),
     (r".*", P()),
@@ -59,6 +61,37 @@ def _fit_spec(spec: P, shape: Tuple[int, ...], mesh: Mesh) -> P:
     if all(a is None for a in out):
         return P()
     return P(*out)
+
+
+def current_mesh() -> Optional[Mesh]:
+    """The mesh from an enclosing ``with mesh:`` block, or None."""
+    from jax._src import mesh as mesh_lib
+
+    env = mesh_lib.thread_resources.env
+    m = env.physical_mesh
+    return None if m.empty else m
+
+
+def shard_activations(x, batch_axes: Tuple[str, ...] = ("data", "fsdp"),
+                      mesh: Optional[Mesh] = None):
+    """Constrain an activation's batch dim to the data axes of the active mesh.
+
+    Placed at layer boundaries this pins the forward AND backward activation
+    layouts so GSPMD never invents a batch->tensor resharding (the source of
+    "[SPMD] Involuntary full rematerialization" warnings). No-op outside a
+    mesh context or when the batch doesn't divide.
+    """
+    mesh = mesh if mesh is not None else current_mesh()
+    if mesh is None or x.ndim == 0:
+        return x
+    names = tuple(a for a in batch_axes if a in mesh.shape and mesh.shape[a] > 1)
+    if not names:
+        return x
+    size = int(np.prod([mesh.shape[a] for a in names]))
+    if x.shape[0] % size != 0:
+        return x
+    spec = P(names, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def make_shardings(params: Any, mesh: Mesh, rules: Rules = TRANSFORMER_RULES) -> Any:

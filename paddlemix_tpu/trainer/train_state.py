@@ -32,25 +32,35 @@ def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
                       opt_state=tx.init(params))
 
 
+def _dict_key_path(path) -> tuple:
+    return tuple(k.key for k in path if isinstance(k, jax.tree_util.DictKey))
+
+
 def state_shardings(state: TrainState, mesh: Mesh, rules: Rules = TRANSFORMER_RULES) -> TrainState:
     """NamedShardings for the whole state. Optimizer moments mirror the param
     layout (that IS ZeRO/"sharding" from the reference: optimizer state never
-    materializes replicated)."""
-    param_sh = make_shardings(state.params, mesh, rules)
-    param_leaves = jax.tree_util.tree_leaves(state.params)
-    sh_leaves = jax.tree_util.tree_leaves(param_sh)
-    by_shape = {}
-    for p, s in zip(param_leaves, sh_leaves):
-        by_shape.setdefault(tuple(p.shape), s)
+    materializes replicated).
 
-    def leaf_sharding(leaf):
-        if hasattr(leaf, "shape") and len(getattr(leaf, "shape", ())) > 0:
-            s = by_shape.get(tuple(leaf.shape))
-            if s is not None:
-                return s
+    Moments are matched to params by tree path (optax moment trees embed the
+    param dict verbatim), NOT by shape: two params can share a shape but have
+    different PartitionSpecs, and a moment laid out differently from its param
+    forces GSPMD resharding inside the update."""
+    param_sh = make_shardings(state.params, mesh, rules)
+    by_path = {}
+    for path, sh in jax.tree_util.tree_flatten_with_path(param_sh)[0]:
+        by_path[_dict_key_path(path)] = sh
+    shape_by_path = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]:
+        shape_by_path[_dict_key_path(path)] = tuple(leaf.shape)
+
+    def leaf_sharding(path, leaf):
+        key = _dict_key_path(path)
+        s = by_path.get(key)
+        if s is not None and tuple(getattr(leaf, "shape", ())) == shape_by_path.get(key):
+            return s
         return NamedSharding(mesh, P())
 
-    opt_sh = jax.tree_util.tree_map(leaf_sharding, state.opt_state)
+    opt_sh = jax.tree_util.tree_map_with_path(leaf_sharding, state.opt_state)
     return TrainState(step=NamedSharding(mesh, P()), params=param_sh, opt_state=opt_sh)
 
 
