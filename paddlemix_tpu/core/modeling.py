@@ -208,18 +208,24 @@ class PretrainedModel:
         dtype=jnp.float32,
         seed: int = 0,
         ignore_mismatched_sizes: bool = False,
+        strict: bool = False,
         **config_overrides,
     ):
         config = cls.config_class.from_pretrained(path_or_repo, subfolder=subfolder, **config_overrides)
         flat = cls._load_flat_state(path_or_repo, subfolder)
         return cls.from_state_dict(config, flat, dtype=dtype, seed=seed,
-                                   ignore_mismatched_sizes=ignore_mismatched_sizes)
+                                   ignore_mismatched_sizes=ignore_mismatched_sizes,
+                                   strict=strict)
 
     @classmethod
     def from_state_dict(cls, config, flat, dtype=jnp.float32, seed: int = 0,
-                        ignore_mismatched_sizes: bool = False):
+                        ignore_mismatched_sizes: bool = False, strict: bool = False):
         """Build a model from an in-memory foreign state dict (torch-style
-        names; used by from_pretrained and the single-file loader)."""
+        names; used by from_pretrained and the single-file loader).
+
+        strict=True raises when any expected key is missing or un-coercibly
+        mismatched instead of silently keeping random init (mirrors the
+        reference's load_state_dict error behavior)."""
         flat = cls.convert_foreign_state_dict(flat, config)
         model = cls.from_config(config, seed=seed, dtype=dtype)
         expected = flatten_params(model.params)
@@ -231,13 +237,14 @@ class PretrainedModel:
                 continue
             v = np.asarray(flat[k])
             if tuple(v.shape) != tuple(ref.shape):
-                mismatched.append((k, v.shape, tuple(ref.shape)))
                 if not ignore_mismatched_sizes:
                     v = _coerce_shape(k, v, tuple(ref.shape))
                     if v is None:
+                        mismatched.append((k, np.asarray(flat[k]).shape, tuple(ref.shape)))
                         loaded[k] = ref
                         continue
                 else:
+                    mismatched.append((k, v.shape, tuple(ref.shape)))
                     loaded[k] = ref
                     continue
             loaded[k] = jnp.asarray(v, dtype=ref.dtype if not jnp.issubdtype(jnp.asarray(ref).dtype, jnp.floating) else dtype)
@@ -250,6 +257,10 @@ class PretrainedModel:
             logger.warning("unexpected keys (%d), e.g. %s", len(unexpected), unexpected[:5])
         if mismatched:
             logger.warning("shape-mismatched keys (%d), e.g. %s", len(mismatched), mismatched[:3])
+        if strict and (missing or mismatched):
+            raise ValueError(
+                f"strict load failed: {len(missing)} missing keys (e.g. {missing[:5]}), "
+                f"{len(mismatched)} shape-mismatched keys (e.g. {mismatched[:3]})")
         model.params = cast_floating(unflatten_params(loaded), dtype)
         model.dtype = dtype
         return model
@@ -268,6 +279,8 @@ def convert_torch_state_dict(flat: Dict[str, np.ndarray], key_map=()) -> Dict[st
         nv = v
         if k.endswith(".weight") and getattr(v, "ndim", 0) == 2 and not _is_embedding_key(k):
             nv = np.asarray(v).T
+        elif k.endswith(".weight") and getattr(v, "ndim", 0) == 3:
+            nv = np.transpose(np.asarray(v), (2, 1, 0))  # Conv1d OIW -> WIO
         elif k.endswith(".weight") and getattr(v, "ndim", 0) == 4:
             nv = np.transpose(np.asarray(v), (2, 3, 1, 0))  # OIHW -> HWIO
         nk = k
@@ -283,6 +296,11 @@ def _coerce_shape(key: str, v: np.ndarray, target: tuple):
     paddlemix/checkpoint.py:182-205 bicubic pos-embed interpolation)."""
     if v.ndim == 2 and v.T.shape == target:
         return v.T
+    if v.ndim == 3:
+        # torch Conv1d OIW -> flax WIO, then ConvTranspose1d IOW -> WIO
+        for perm in ((2, 1, 0), (2, 0, 1)):
+            if tuple(np.transpose(v, perm).shape) == target:
+                return np.transpose(v, perm)
     if v.ndim == 4 and tuple(np.transpose(v, (2, 3, 1, 0)).shape) == target:
         # torch conv OIHW -> flax HWIO
         return np.transpose(v, (2, 3, 1, 0))

@@ -117,6 +117,8 @@ def get_2d_sincos_pos_embed(embed_dim: int, gh: int, gw: int,
     grid_h = jnp.arange(gh, dtype=jnp.float32) / (gh / base_size) / interpolation_scale
     grid_w = jnp.arange(gw, dtype=jnp.float32) / (gw / base_size) / interpolation_scale
     grid = jnp.meshgrid(grid_w, grid_h)  # w goes first (diffusers convention)
-    emb_h = get_1d_sincos_pos_embed(embed_dim // 2, grid[1])
-    emb_w = get_1d_sincos_pos_embed(embed_dim // 2, grid[0])
-    return jnp.concatenate([emb_h, emb_w], axis=-1)
+    # MAE quirk kept for checkpoint parity (ref ppdiffusers models/embeddings.py:89-98):
+    # the FIRST half of the embedding encodes grid[0] — the W mesh — not H.
+    emb_first = get_1d_sincos_pos_embed(embed_dim // 2, grid[0])   # w coordinate
+    emb_second = get_1d_sincos_pos_embed(embed_dim // 2, grid[1])  # h coordinate
+    return jnp.concatenate([emb_first, emb_second], axis=-1)

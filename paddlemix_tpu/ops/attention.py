@@ -430,6 +430,10 @@ def flash_attention(
     """Flash attention, (B, S, H, D) layout. Pads seq/head_dim as needed."""
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
+    if causal and sq != skv:
+        # the kernel mask is top-left aligned (col <= row); bottom-right
+        # alignment for ragged decode shapes belongs to attention_xla
+        raise ValueError(f"flash_attention causal requires sq == skv, got {sq} != {skv}")
     scale = (d ** -0.5) if scale is None else scale
     # block-size sweep on v5e (S=4096/1024, D=64, bf16): 2048x1024 beats
     # 512x1024 by ~13% (fewer grid revisits amortize the m/acc rescales);
@@ -491,6 +495,10 @@ def scaled_dot_product_attention(
         flashable = (
             use_pallas() and bias is None and dropout_rate == 0.0
             and k.shape[1] >= 128 and q.shape[3] <= 256
+            # flash kernel's causal mask is top-left aligned; attention_xla is
+            # bottom-right — only equivalent when sq == skv, so route ragged
+            # causal shapes to the XLA path
+            and (not causal or q.shape[1] == k.shape[1])
         )
         impl = "flash" if flashable else "math"
     if impl == "flash":

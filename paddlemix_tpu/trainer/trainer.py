@@ -149,7 +149,15 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         mgr = self._checkpointer()
-        step = mgr.latest_step() if path_or_latest == "latest" else int(path_or_latest)
+        if path_or_latest == "latest":
+            step = mgr.latest_step()
+        elif os.path.exists(str(path_or_latest)):
+            # a concrete checkpoint dir (the reference's resume_from_checkpoint
+            # semantics): .../<step> or .../<step>/ — take the step leaf
+            leaf = os.path.basename(os.path.normpath(str(path_or_latest)))
+            step = int(leaf)
+        else:
+            step = int(path_or_latest)
         if step is None:
             logger.warning("no checkpoint to resume from")
             return
