@@ -318,7 +318,8 @@ class LlamaForCausalLM(PretrainedModel):
 
         assert mode in ("a8w8", "wint8"), mode
         self.params = quantize_tree_wint8(self.params, min_bytes=min_bytes)
-        self.config.quant = mode
+        # copy the config: it may be shared with other model instances
+        self.config = dataclasses.replace(self.config, quant=mode)
         self.module = self.module_class(self.config,
                                         **_dtype_kw(self.module_class, self.dtype))
         return self
