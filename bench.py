@@ -110,7 +110,14 @@ def main():
     from paddlemix_tpu.diffusers.models import AutoencoderKL, AutoencoderKLConfig
     from paddlemix_tpu.diffusers.schedulers import EulerDiscreteScheduler
 
-    unet = _unet(SDXL_UNET, jnp.bfloat16)
+    # optional fast path (reference counterparts: triton weight_only_int8,
+    # tomesd): int8 a8w8 matmuls/convs and/or ToMe self-attn token merging
+    unet_cfg = dict(SDXL_UNET)
+    if os.environ.get("BENCH_QUANT"):
+        unet_cfg["quant"] = os.environ["BENCH_QUANT"]
+    if os.environ.get("BENCH_TOME"):
+        unet_cfg["tome_ratio"] = float(os.environ["BENCH_TOME"])
+    unet = _unet(unet_cfg, jnp.bfloat16)
 
     # SDXL VAE (random weights, real architecture)
     vae_cfg = AutoencoderKLConfig(sample_size=res, scaling_factor=0.13025)

@@ -18,6 +18,21 @@ from ...ops import scaled_dot_product_attention
 from ...ops.activations import gelu_tanh
 
 
+def _qdg(quant):
+    """dot_general override for nn.Dense when int8 inference is on."""
+    if quant == "a8w8":
+        from ...ops.quant import quantizing_dot_general
+        return quantizing_dot_general
+    return None
+
+
+def _qcg(quant):
+    if quant == "a8w8":
+        from ...ops.quant import quantizing_conv_general_dilated
+        return quantizing_conv_general_dilated
+    return None
+
+
 class CrossAttention(nn.Module):
     """diffusers-style Attention: to_q/to_k/to_v (no bias) + to_out.
 
@@ -33,13 +48,16 @@ class CrossAttention(nn.Module):
     qkv_bias: bool = False
     ip_tokens: int = 0
     ip_scale: float = 1.0
+    quant: str = None
     dtype: jnp.dtype = jnp.float32
 
     def _attend(self, q, ctx, name_k, name_v):
         inner = self.num_heads * self.head_dim
         b, sq = q.shape[:2]
-        k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name=name_k)(ctx)
-        v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name=name_v)(ctx)
+        k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
+                     dot_general=_qdg(self.quant), name=name_k)(ctx)
+        v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
+                     dot_general=_qdg(self.quant), name=name_v)(ctx)
         sk = k.shape[1]
         return scaled_dot_product_attention(
             q.reshape(b, sq, self.num_heads, self.head_dim),
@@ -56,36 +74,40 @@ class CrossAttention(nn.Module):
         if self.ip_tokens > 0 and is_cross and context.shape[1] > self.ip_tokens:
             ip_ctx = context[:, -self.ip_tokens:]
             context = context[:, :-self.ip_tokens]
-        q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(hidden)
+        q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
+                     dot_general=_qdg(self.quant), name="to_q")(hidden)
         out = self._attend(q, context, "to_k", "to_v")
         if ip_ctx is not None:
             out = out + self.ip_scale * self._attend(q, ip_ctx, "to_k_ip", "to_v_ip")
         return nn.Dense(hidden.shape[-1], use_bias=self.out_bias, dtype=self.dtype,
-                        name="to_out")(out)
+                        dot_general=_qdg(self.quant), name="to_out")(out)
 
 
 class GEGLUFeedForward(nn.Module):
     """ff.net.0 (GEGLU proj) -> ff.net.2 (out proj), diffusers naming."""
 
     mult: int = 4
+    quant: str = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
         inner = d * self.mult
+        quant = self.quant
 
         class _GEGLU(nn.Module):
             dtype: jnp.dtype = jnp.float32
 
             @nn.compact
             def __call__(self, x):
-                hg = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
+                hg = nn.Dense(inner * 2, dtype=self.dtype,
+                              dot_general=_qdg(quant), name="proj")(x)
                 h, gate = jnp.split(hg, 2, axis=-1)
                 return h * gelu_tanh(gate)
 
         h = _GEGLU(dtype=self.dtype, name="net_0")(x)
-        return nn.Dense(d, dtype=self.dtype, name="net_2")(h)
+        return nn.Dense(d, dtype=self.dtype, dot_general=_qdg(quant), name="net_2")(h)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -97,6 +119,7 @@ class BasicTransformerBlock(nn.Module):
     tome_grid: tuple = ()
     ip_tokens: int = 0
     ip_scale: float = 1.0
+    quant: str = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -108,20 +131,23 @@ class BasicTransformerBlock(nn.Module):
             merge, unmerge = build_tome(h, self.tome_grid[0], self.tome_grid[1],
                                         self.tome_ratio)
             attn_out = CrossAttention(self.num_heads, self.head_dim, dtype=self.dtype,
-                                      name="attn1")(merge(h))
+                                      quant=self.quant, name="attn1")(merge(h))
             hidden = hidden + unmerge(attn_out)
         else:
             hidden = hidden + CrossAttention(
-                self.num_heads, self.head_dim, dtype=self.dtype, name="attn1"
+                self.num_heads, self.head_dim, dtype=self.dtype, quant=self.quant,
+                name="attn1"
             )(h, context if self.only_cross_attention else None)
         if self.use_cross_attention:
             h = nn.LayerNorm(dtype=self.dtype, name="norm2")(hidden)
             hidden = hidden + CrossAttention(
                 self.num_heads, self.head_dim, ip_tokens=self.ip_tokens,
-                ip_scale=self.ip_scale, dtype=self.dtype, name="attn2"
+                ip_scale=self.ip_scale, dtype=self.dtype, quant=self.quant,
+                name="attn2"
             )(h, context)
         h = nn.LayerNorm(dtype=self.dtype, name="norm3")(hidden)
-        hidden = hidden + GEGLUFeedForward(dtype=self.dtype, name="ff")(h)
+        hidden = hidden + GEGLUFeedForward(dtype=self.dtype, quant=self.quant,
+                                           name="ff")(h)
         return hidden
 
 
@@ -136,6 +162,7 @@ class Transformer2DModel(nn.Module):
     tome_ratio: float = 0.0
     ip_tokens: int = 0
     ip_scale: float = 1.0
+    quant: str = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -145,22 +172,26 @@ class Transformer2DModel(nn.Module):
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         if self.use_linear_projection:
             x = x.reshape(b, h * w, c)
-            x = nn.Dense(self.num_heads * self.head_dim, dtype=self.dtype, name="proj_in")(x)
+            x = nn.Dense(self.num_heads * self.head_dim, dtype=self.dtype,
+                         dot_general=_qdg(self.quant), name="proj_in")(x)
         else:
-            x = nn.Conv(self.num_heads * self.head_dim, (1, 1), dtype=self.dtype, name="proj_in")(x)
+            x = nn.Conv(self.num_heads * self.head_dim, (1, 1), dtype=self.dtype,
+                        conv_general_dilated=_qcg(self.quant), name="proj_in")(x)
             x = x.reshape(b, h * w, self.num_heads * self.head_dim)
         for i in range(self.num_layers):
             x = BasicTransformerBlock(self.num_heads, self.head_dim,
                                       tome_ratio=self.tome_ratio, tome_grid=(h, w),
                                       ip_tokens=self.ip_tokens, ip_scale=self.ip_scale,
-                                      dtype=self.dtype,
+                                      quant=self.quant, dtype=self.dtype,
                                       name=f"transformer_blocks_{i}")(x, context)
         if self.use_linear_projection:
-            x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+            x = nn.Dense(c, dtype=self.dtype, dot_general=_qdg(self.quant),
+                         name="proj_out")(x)
             x = x.reshape(b, h, w, c)
         else:
             x = x.reshape(b, h, w, self.num_heads * self.head_dim)
-            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+            x = nn.Conv(c, (1, 1), dtype=self.dtype,
+                        conv_general_dilated=_qcg(self.quant), name="proj_out")(x)
         return x + residual
 
 

@@ -53,6 +53,11 @@ class UNet2DConditionConfig(BaseConfig):
     ip_adapter_tokens: int = 0
     ip_adapter_scale: float = 1.0
     center_input_sample: bool = False
+    # inference fast path: int8 a8w8 matmuls/convs + ToMe token merging in the
+    # self-attention blocks (reference counterparts: triton weight_only_int8 /
+    # INFERENCE_OPTIMIZE simplified_sd3.py and tomesd_patch_utils.py)
+    quant: Optional[str] = None
+    tome_ratio: float = 0.0
 
     def _per_block(self, v):
         n = len(self.block_out_channels)
@@ -80,6 +85,8 @@ class CrossAttnDownBlock2D(nn.Module):
     groups: int = 32
     ip_tokens: int = 0
     ip_scale: float = 1.0
+    quant: Optional[str] = None
+    tome_ratio: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -87,16 +94,18 @@ class CrossAttnDownBlock2D(nn.Module):
         outputs = []
         head_dim = self.out_channels // self.num_heads
         for i in range(self.num_layers):
-            x = ResnetBlock2D(self.out_channels, groups=self.groups, dtype=self.dtype,
-                              name=f"resnets_{i}")(x, temb)
+            x = ResnetBlock2D(self.out_channels, groups=self.groups, quant=self.quant,
+                              dtype=self.dtype, name=f"resnets_{i}")(x, temb)
             x = Transformer2DModel(self.num_heads, head_dim, num_layers=self.tf_layers,
                                    use_linear_projection=self.use_linear_projection,
                                    groups=self.groups, ip_tokens=self.ip_tokens,
-                                   ip_scale=self.ip_scale, dtype=self.dtype,
+                                   ip_scale=self.ip_scale, quant=self.quant,
+                                   tome_ratio=self.tome_ratio, dtype=self.dtype,
                                    name=f"attentions_{i}")(x, context)
             outputs.append(x)
         if self.add_downsample:
-            x = Downsample2D(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
+            x = Downsample2D(self.out_channels, quant=self.quant, dtype=self.dtype,
+                             name="downsamplers_0")(x)
             outputs.append(x)
         return x, outputs
 
@@ -106,17 +115,19 @@ class DownBlock2D(nn.Module):
     num_layers: int
     add_downsample: bool = True
     groups: int = 32
+    quant: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb):
         outputs = []
         for i in range(self.num_layers):
-            x = ResnetBlock2D(self.out_channels, groups=self.groups, dtype=self.dtype,
-                              name=f"resnets_{i}")(x, temb)
+            x = ResnetBlock2D(self.out_channels, groups=self.groups, quant=self.quant,
+                              dtype=self.dtype, name=f"resnets_{i}")(x, temb)
             outputs.append(x)
         if self.add_downsample:
-            x = Downsample2D(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
+            x = Downsample2D(self.out_channels, quant=self.quant, dtype=self.dtype,
+                             name="downsamplers_0")(x)
             outputs.append(x)
         return x, outputs
 
@@ -129,20 +140,23 @@ class UNetMidBlock2DCrossAttn(nn.Module):
     groups: int = 32
     ip_tokens: int = 0
     ip_scale: float = 1.0
+    quant: Optional[str] = None
+    tome_ratio: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb, context):
         head_dim = self.channels // self.num_heads
-        x = ResnetBlock2D(self.channels, groups=self.groups, dtype=self.dtype,
-                          name="resnets_0")(x, temb)
+        x = ResnetBlock2D(self.channels, groups=self.groups, quant=self.quant,
+                          dtype=self.dtype, name="resnets_0")(x, temb)
         x = Transformer2DModel(self.num_heads, head_dim, num_layers=self.tf_layers,
                                use_linear_projection=self.use_linear_projection,
                                groups=self.groups, ip_tokens=self.ip_tokens,
-                               ip_scale=self.ip_scale, dtype=self.dtype,
+                               ip_scale=self.ip_scale, quant=self.quant,
+                               tome_ratio=self.tome_ratio, dtype=self.dtype,
                                name="attentions_0")(x, context)
-        x = ResnetBlock2D(self.channels, groups=self.groups, dtype=self.dtype,
-                          name="resnets_1")(x, temb)
+        x = ResnetBlock2D(self.channels, groups=self.groups, quant=self.quant,
+                          dtype=self.dtype, name="resnets_1")(x, temb)
         return x
 
 
@@ -156,6 +170,8 @@ class CrossAttnUpBlock2D(nn.Module):
     groups: int = 32
     ip_tokens: int = 0
     ip_scale: float = 1.0
+    quant: Optional[str] = None
+    tome_ratio: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -163,15 +179,17 @@ class CrossAttnUpBlock2D(nn.Module):
         head_dim = self.out_channels // self.num_heads
         for i in range(self.num_layers):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock2D(self.out_channels, groups=self.groups, dtype=self.dtype,
-                              name=f"resnets_{i}")(x, temb)
+            x = ResnetBlock2D(self.out_channels, groups=self.groups, quant=self.quant,
+                              dtype=self.dtype, name=f"resnets_{i}")(x, temb)
             x = Transformer2DModel(self.num_heads, head_dim, num_layers=self.tf_layers,
                                    use_linear_projection=self.use_linear_projection,
                                    groups=self.groups, ip_tokens=self.ip_tokens,
-                                   ip_scale=self.ip_scale, dtype=self.dtype,
+                                   ip_scale=self.ip_scale, quant=self.quant,
+                                   tome_ratio=self.tome_ratio, dtype=self.dtype,
                                    name=f"attentions_{i}")(x, context)
         if self.add_upsample:
-            x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
+            x = Upsample2D(self.out_channels, quant=self.quant, dtype=self.dtype,
+                           name="upsamplers_0")(x)
         return x
 
 
@@ -180,16 +198,18 @@ class UpBlock2D(nn.Module):
     num_layers: int
     add_upsample: bool = True
     groups: int = 32
+    quant: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, skips, temb):
         for i in range(self.num_layers):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock2D(self.out_channels, groups=self.groups, dtype=self.dtype,
-                              name=f"resnets_{i}")(x, temb)
+            x = ResnetBlock2D(self.out_channels, groups=self.groups, quant=self.quant,
+                              dtype=self.dtype, name=f"resnets_{i}")(x, temb)
         if self.add_upsample:
-            x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
+            x = Upsample2D(self.out_channels, quant=self.quant, dtype=self.dtype,
+                           name="upsamplers_0")(x)
         return x
 
 
@@ -254,10 +274,11 @@ class UNet2DConditionModule(nn.Module):
                     ch, cfg.layers_per_block, heads[i], tf_layers[i],
                     cfg.use_linear_projection, add_downsample=not last, groups=groups,
                     ip_tokens=cfg.ip_adapter_tokens, ip_scale=cfg.ip_adapter_scale,
+                    quant=cfg.quant, tome_ratio=cfg.tome_ratio,
                     dtype=self.dtype, name=f"down_blocks_{i}")(sample, emb, encoder_hidden_states)
             else:
                 sample, outs = DownBlock2D(ch, cfg.layers_per_block, add_downsample=not last,
-                                           groups=groups, dtype=self.dtype,
+                                           groups=groups, quant=cfg.quant, dtype=self.dtype,
                                            name=f"down_blocks_{i}")(sample, emb)
             skips.extend(outs)
 
@@ -268,7 +289,7 @@ class UNet2DConditionModule(nn.Module):
             cfg.block_out_channels[-1], heads[-1], tf_layers[-1],
             cfg.use_linear_projection, groups=groups,
             ip_tokens=cfg.ip_adapter_tokens, ip_scale=cfg.ip_adapter_scale,
-            dtype=self.dtype,
+            quant=cfg.quant, tome_ratio=cfg.tome_ratio, dtype=self.dtype,
             name="mid_block")(sample, emb, encoder_hidden_states)
         if mid_block_additional_residual is not None:
             sample = sample + mid_block_additional_residual
@@ -286,11 +307,12 @@ class UNet2DConditionModule(nn.Module):
                     ch, n_layers, heads[j], tf_layers[j], cfg.use_linear_projection,
                     add_upsample=not last, groups=groups,
                     ip_tokens=cfg.ip_adapter_tokens, ip_scale=cfg.ip_adapter_scale,
-                    dtype=self.dtype,
+                    quant=cfg.quant, tome_ratio=cfg.tome_ratio, dtype=self.dtype,
                     name=f"up_blocks_{i}")(sample, block_skips, emb, encoder_hidden_states)
             else:
                 sample = UpBlock2D(ch, n_layers, add_upsample=not last, groups=groups,
-                                   dtype=self.dtype, name=f"up_blocks_{i}")(sample, block_skips, emb)
+                                   quant=cfg.quant, dtype=self.dtype,
+                                   name=f"up_blocks_{i}")(sample, block_skips, emb)
 
         sample = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=self.dtype,
                               name="conv_norm_out")(sample)

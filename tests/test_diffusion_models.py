@@ -163,3 +163,61 @@ def test_torch_style_checkpoint_loads(tmp_path):
     x = jnp.ones((1, 32, 32, 3))
     np.testing.assert_allclose(np.asarray(vae2.encode(x).mean),
                                np.asarray(vae.encode(x).mean), atol=1e-5)
+
+def test_unet_a8w8_quant_golden_delta():
+    """int8 a8w8 fast path: same params, output drift bounded (the CPU
+    golden-delta gate for the quantized serving path; reference analog:
+    ppdiffusers deploy fast tests' tolerance on quantized outputs)."""
+    base = UNet2DConditionModel.from_config(UNet2DConditionConfig.from_dict(TINY_UNET))
+    qcfg = dict(TINY_UNET, quant="a8w8")
+    qmodel = UNet2DConditionModel.from_config(UNet2DConditionConfig.from_dict(qcfg))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 24))
+    ref = base.apply(base.params, x, jnp.asarray(10), ctx)
+    quant = qmodel.apply(base.params, x, jnp.asarray(10), ctx)  # same weights
+    rel = float(jnp.linalg.norm(quant - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.15, rel
+    assert bool(jnp.all(jnp.isfinite(quant)))
+
+
+def test_unet_tome_golden_delta():
+    """ToMe merging on: output stays close to the unmerged model."""
+    base = UNet2DConditionModel.from_config(UNet2DConditionConfig.from_dict(TINY_UNET))
+    tcfg = dict(TINY_UNET, tome_ratio=0.25)
+    tmodel = UNet2DConditionModel.from_config(UNet2DConditionConfig.from_dict(tcfg))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 24))
+    ref = base.apply(base.params, x, jnp.asarray(10), ctx)
+    tout = tmodel.apply(base.params, x, jnp.asarray(10), ctx)
+    rel = float(jnp.linalg.norm(tout - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.25, rel
+
+
+def test_quantizing_dot_general_matches_fp():
+    from paddlemix_tpu.ops.quant import quantizing_dot_general
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 128))
+    w = jax.random.normal(jax.random.PRNGKey(1), (128, 256)) * 0.05
+    dn = (((2,), (0,)), ((), ()))
+    ref = jax.lax.dot_general(x, w, dn)
+    q = quantizing_dot_general(x, w, dn)
+    rel = float(jnp.linalg.norm(q - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel
+    # non-Dense pattern falls back to the fp dot exactly
+    dn_bmm = (((2,), (1,)), ((0,), (0,)))
+    wb = jax.random.normal(jax.random.PRNGKey(2), (4, 128, 32))
+    np.testing.assert_allclose(
+        np.asarray(quantizing_dot_general(x, wb, dn_bmm)),
+        np.asarray(jax.lax.dot_general(x, wb, dn_bmm)), atol=1e-6)
+
+
+def test_quantizing_conv_matches_fp():
+    from paddlemix_tpu.ops.quant import quantizing_conv_general_dilated
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 32))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 32, 64)) * 0.05
+    dn = ("NHWC", "HWIO", "NHWC")
+    ref = jax.lax.conv_general_dilated(x, w, (1, 1), "SAME", dimension_numbers=dn)
+    q = quantizing_conv_general_dilated(x, w, (1, 1), "SAME", dimension_numbers=dn)
+    rel = float(jnp.linalg.norm(q - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.03, rel
