@@ -7,7 +7,13 @@ added behind the same Scheduler/State pattern."""
 from .common import Scheduler, SchedulerConfig
 from .scheduling_ddim import DDIMConfig, DDIMScheduler, DDIMState
 from .scheduling_ddpm import DDPMConfig, DDPMScheduler, DDPMState
-from .scheduling_dpmsolver import DPMSolverConfig, DPMSolverMultistepScheduler, DPMSolverState
+from .scheduling_dpmsolver import (
+    DPMSolverConfig,
+    DPMSolverMultistepScheduler,
+    DPMSolverSinglestepScheduler,
+    DPMSolverState,
+    DPMSolverUniDiffuserScheduler,
+)
 from .scheduling_euler import (
     EulerAncestralDiscreteScheduler,
     EulerConfig,
@@ -25,6 +31,26 @@ from .scheduling_extra import (
 )
 from .scheduling_wuerstchen import DDPMWuerstchenConfig, DDPMWuerstchenScheduler
 from .scheduling_unipc import UniPCConfig, UniPCMultistepScheduler, UniPCState
+from .scheduling_edm import EDMConfig, EDMDPMSolverMultistepScheduler, EDMEulerScheduler
+from .scheduling_kdpm2 import (
+    KDPM2AncestralDiscreteScheduler,
+    KDPM2Config,
+    KDPM2DiscreteScheduler,
+)
+from .scheduling_lms import IPNDMScheduler, LMSConfig, LMSDiscreteScheduler
+from .scheduling_inverse import (
+    DDIMInverseScheduler,
+    DDIMParallelScheduler,
+    DDPMParallelScheduler,
+    DPMSolverMultistepInverseScheduler,
+)
+from .scheduling_specialty import (
+    ConsistencyDecoderScheduler,
+    KarrasVeScheduler,
+    RePaintScheduler,
+    ScoreSdeVeScheduler,
+    UnCLIPScheduler,
+)
 
 SCHEDULER_REGISTRY = {
     "DDIMScheduler": DDIMScheduler,
@@ -41,4 +67,21 @@ SCHEDULER_REGISTRY = {
     "CMStochasticIterativeScheduler": CMStochasticIterativeScheduler,
     "DPMSolverSDEScheduler": DPMSolverSDEScheduler,
     "DDPMWuerstchenScheduler": DDPMWuerstchenScheduler,
+    "DPMSolverSinglestepScheduler": DPMSolverSinglestepScheduler,
+    "DPMSolverUniDiffuserScheduler": DPMSolverUniDiffuserScheduler,
+    "EDMEulerScheduler": EDMEulerScheduler,
+    "EDMDPMSolverMultistepScheduler": EDMDPMSolverMultistepScheduler,
+    "KDPM2DiscreteScheduler": KDPM2DiscreteScheduler,
+    "KDPM2AncestralDiscreteScheduler": KDPM2AncestralDiscreteScheduler,
+    "LMSDiscreteScheduler": LMSDiscreteScheduler,
+    "IPNDMScheduler": IPNDMScheduler,
+    "DDIMInverseScheduler": DDIMInverseScheduler,
+    "DPMSolverMultistepInverseScheduler": DPMSolverMultistepInverseScheduler,
+    "DDIMParallelScheduler": DDIMParallelScheduler,
+    "DDPMParallelScheduler": DDPMParallelScheduler,
+    "RePaintScheduler": RePaintScheduler,
+    "ScoreSdeVeScheduler": ScoreSdeVeScheduler,
+    "UnCLIPScheduler": UnCLIPScheduler,
+    "ConsistencyDecoderScheduler": ConsistencyDecoderScheduler,
+    "KarrasVeScheduler": KarrasVeScheduler,
 }
