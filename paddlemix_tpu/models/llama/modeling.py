@@ -184,7 +184,22 @@ class LlamaAttention(nn.Module):
                 out = attention_xla(q, k_cache[:, :L - 1], v_cache[:, :L - 1],
                                     bias=attn_bias[..., : L - 1])
         else:
-            out = scaled_dot_product_attention(q, k, v, causal=True, segment_ids=segment_ids)
+            # sequence parallelism: when the active mesh has a populated
+            # "sequence" axis, distribute S with ring attention (reference
+            # sep_parallel_degree; the reference only flags it — SURVEY §2.5
+            # sanctions ring/Ulysses as the TPU-native realization)
+            from ...parallel.sharding import current_mesh
+
+            mesh = current_mesh()
+            seq_n = int(mesh.shape.get("sequence", 1)) if mesh is not None else 1
+            if seq_n > 1 and s % seq_n == 0:
+                from ...parallel.ring_attention import sequence_parallel_attention
+
+                out = sequence_parallel_attention(q, k, v, mesh, causal=True,
+                                                  segment_ids=segment_ids)
+            else:
+                out = scaled_dot_product_attention(q, k, v, causal=True,
+                                                   segment_ids=segment_ids)
         out = out.reshape(b, s, cfg.num_attention_heads * hd)
         out = MXUDense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
                        quant=quant, name="o_proj")(out)

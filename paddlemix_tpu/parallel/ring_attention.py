@@ -15,54 +15,114 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.attention import DEFAULT_MASK_VALUE
 
 
 def ring_attention(q, k, v, axis_name: str, *, causal: bool = False,
-                   scale: Optional[float] = None):
+                   scale: Optional[float] = None, q_segment_ids=None,
+                   kv_segment_ids=None):
     """q/k/v: (B, S_local, H, D) — the local sequence shard. Must run inside
     shard_map/pjit with ``axis_name`` sized n_devices; returns (B, S_local, H, D).
 
     Online softmax accumulates across ring steps; causal masking uses global
-    block indices (device i holds tokens [i*S_local, (i+1)*S_local))."""
+    block indices (device i holds tokens [i*S_local, (i+1)*S_local)).
+    Segment ids (B, S_local) follow the flash-kernel convention: key j is
+    visible to query i only when their segments match (packing/padding)."""
     b, s_loc, h, d = q.shape
     n = jax.lax.psum(1, axis_name)
     my_idx = jax.lax.axis_index(axis_name)
     scale = (d ** -0.5) if scale is None else scale
+    has_segs = q_segment_ids is not None
 
     qf = q.astype(jnp.float32) * scale
     # accumulators: per (B, H, S, 1)
     o = jnp.zeros((b, s_loc, h, d), jnp.float32)
     m = jnp.full((b, s_loc, h, 1), -jnp.inf, jnp.float32)
     l = jnp.zeros((b, s_loc, h, 1), jnp.float32)
+    ks0 = (kv_segment_ids if kv_segment_ids is not None else
+           jnp.zeros((b, s_loc), jnp.int32)).astype(jnp.int32)
 
-    perm = [(i, (i + 1) % n) for i in range(n)] if isinstance(n, int) else None
+    group = h // k.shape[2]  # GQA: q heads per kv head
 
     def body(step, carry):
-        o, m, l, k_blk, v_blk = carry
+        o, m, l, k_blk, v_blk, ks_blk = carry
         src = (my_idx - step) % n  # global block index currently held
         s_kv = k_blk.shape[1]
-        logits = jnp.einsum("bqhd,bkhd->bqhk", qf, k_blk.astype(jnp.float32))
+        # GQA repeat happens AFTER the ring transfer so ICI carries kv-sized
+        # blocks only
+        k_use = jnp.repeat(k_blk, group, axis=2) if group > 1 else k_blk
+        v_use = jnp.repeat(v_blk, group, axis=2) if group > 1 else v_blk
+        logits = jnp.einsum("bqhd,bkhd->bqhk", qf, k_use.astype(jnp.float32))
+        mask = None
         if causal:
             q_pos = my_idx * s_loc + jnp.arange(s_loc)[:, None]
             k_pos = src * s_kv + jnp.arange(s_kv)[None, :]
             mask = (k_pos <= q_pos)[None, :, None, :]
+        if has_segs:
+            seg = (q_segment_ids.astype(jnp.int32)[:, :, None]
+                   == ks_blk[:, None, :])[:, :, None, :]
+            mask = seg if mask is None else (mask & seg)
+        if mask is not None:
             logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
         m_blk = jnp.max(logits, axis=-1, keepdims=True)
         m_new = jnp.maximum(m, m_blk)
         p = jnp.exp(logits - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        o_new = o * alpha + jnp.einsum("bqhk,bkhd->bqhd", p, v_blk.astype(jnp.float32))
+        o_new = o * alpha + jnp.einsum("bqhk,bkhd->bqhd", p, v_use.astype(jnp.float32))
         # rotate kv to the next device (skipped compute-wise on last step)
-        k_nxt = jax.lax.ppermute(k_blk, axis_name, [(i, (i + 1) % n) for i in range(n)])
-        v_nxt = jax.lax.ppermute(v_blk, axis_name, [(i, (i + 1) % n) for i in range(n)])
-        return o_new, m_new, l_new, k_nxt, v_nxt
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        k_nxt = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_blk, axis_name, perm)
+        ks_nxt = jax.lax.ppermute(ks_blk, axis_name, perm) if has_segs else ks_blk
+        return o_new, m_new, l_new, k_nxt, v_nxt, ks_nxt
 
-    o, m, l, _, _ = jax.lax.fori_loop(0, n, body, (o, m, l, k, v))
+    o, m, l, _, _, _ = jax.lax.fori_loop(0, n, body, (o, m, l, k, v, ks0))
     l_safe = jnp.where(l == 0.0, 1.0, l)
     return (o / l_safe).astype(q.dtype)
+
+
+def sequence_parallel_attention(q, k, v, mesh, *, causal: bool = True,
+                                segment_ids=None, axis_name: str = "sequence"):
+    """Ring attention on GLOBAL (B, S, H, D) arrays from inside a pjit trace.
+
+    The model keeps computing on global shapes (GSPMD style); this drops into
+    shard_map to distribute S over the mesh's sequence axis and rotate KV
+    around the ring.  Batch rides (data, fsdp) and heads ride the tensor axis
+    when they divide, so sp composes with dp/fsdp/tp in one step (the
+    reference's sep_parallel_degree, SURVEY §2.5).  ``segment_ids`` is the
+    ops.attention.SegmentIds pair for packed/padded batches."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    b, s, h, _ = q.shape
+    batch_axes = tuple(a for a in ("data", "fsdp")
+                       if mesh.shape.get(a, 1) > 1)
+    if batch_axes and b % int(np.prod([mesh.shape[a] for a in batch_axes])) != 0:
+        batch_axes = ()
+    bspec = batch_axes if batch_axes else None
+    tp = mesh.shape.get("tensor", 1)
+    head_ax = ("tensor" if tp > 1 and h % tp == 0 and k.shape[2] % tp == 0
+               else None)
+    spec = P(bspec, axis_name, head_ax, None)
+    seg_spec = P(bspec, axis_name)
+
+    if segment_ids is None:
+        fn = shard_map(
+            lambda q, k, v: ring_attention(q, k, v, axis_name, causal=causal),
+            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_vma=False)
+        return fn(q, k, v)
+
+    fn = shard_map(
+        lambda q, k, v, qs, ks: ring_attention(
+            q, k, v, axis_name, causal=causal, q_segment_ids=qs,
+            kv_segment_ids=ks),
+        mesh=mesh, in_specs=(spec, spec, spec, seg_spec, seg_spec),
+        out_specs=spec, check_vma=False)
+    return fn(q, k, v, segment_ids.q, segment_ids.kv)
 
 
 def make_ring_attention(mesh, axis_name: str = "sequence", causal: bool = False):

@@ -85,12 +85,21 @@ def shard_activations(x, batch_axes: Tuple[str, ...] = ("data", "fsdp"),
     if mesh is None or x.ndim == 0:
         return x
     names = tuple(a for a in batch_axes if a in mesh.shape and mesh.shape[a] > 1)
-    if not names:
+    seq_n = int(mesh.shape.get("sequence", 1))
+    seq_ax = ("sequence" if seq_n > 1 and x.ndim >= 3 and x.shape[1] % seq_n == 0
+              else None)
+    if not names and seq_ax is None:
         return x
-    size = int(np.prod([mesh.shape[a] for a in names]))
-    if x.shape[0] % size != 0:
+    if names:
+        size = int(np.prod([mesh.shape[a] for a in names]))
+        if x.shape[0] % size != 0:
+            names = ()
+    if not names and seq_ax is None:
         return x
-    spec = P(names, *([None] * (x.ndim - 1)))
+    if x.ndim == 1:
+        spec = P(names if names else None)
+    else:
+        spec = P(names if names else None, seq_ax, *([None] * (x.ndim - 2)))
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
