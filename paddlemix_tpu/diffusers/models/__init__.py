@@ -25,3 +25,11 @@ from .stable_cascade import StableCascadeUNet, StableCascadeUNetConfig
 from .unet_1d import UNet1DConfig, UNet1DModel
 from .pixart import PixArtConfig, PixArtTransformer2DModel
 from .kandinsky3 import Kandinsky3UNet, Kandinsky3UNetConfig
+from .unet_spatio_temporal import (
+    UNetSpatioTemporalConditionConfig,
+    UNetSpatioTemporalConditionModel,
+)
+from .autoencoder_kl_temporal import (
+    AutoencoderKLTemporalDecoder,
+    AutoencoderKLTemporalDecoderConfig,
+)

@@ -47,6 +47,7 @@ class Timesteps(nn.Module):
 class TimestepEmbedding(nn.Module):
     time_embed_dim: int
     act_fn: str = "silu"
+    out_dim: Optional[int] = None  # reference TimestepEmbedding(out_dim=...)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -55,7 +56,8 @@ class TimestepEmbedding(nn.Module):
 
         sample = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(sample)
         sample = get_activation(self.act_fn)(sample)
-        return nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(sample)
+        return nn.Dense(self.out_dim or self.time_embed_dim, dtype=self.dtype,
+                        name="linear_2")(sample)
 
 
 class LabelEmbedding(nn.Module):

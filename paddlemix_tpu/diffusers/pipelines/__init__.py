@@ -37,3 +37,4 @@ from .musicldm import MusicLDMPipeline
 from .pixart_alpha import PixArtAlphaPipeline
 from .shap_e import ShapEPipeline, ShapEPrior, ShapEPriorConfig, ShapERenderer, ShapERendererConfig
 from .kandinsky3 import Kandinsky3Pipeline
+from .stable_video import StableVideoDiffusionPipeline
