@@ -51,6 +51,10 @@ class Blip2Config(BaseConfig):
     text_config: Optional[Dict[str, Any]] = None
     num_query_tokens: int = 32
     lm_type: str = "opt"  # "opt" | "t5" (FlanT5 variant, reference stage-2)
+    # "clip": HF-format tower (HF checkpoints); "eva": the EVA ViT proper
+    # (post-norm/rope/SwiGLU/k-bias-less options, reference blip2/eva_vit.py
+    # + clip/vit_model.py) shared with EVA-CLIP (models/clip/eva.py)
+    vision_tower: str = "clip"
 
     def __post_init__(self):
         self.vision_config = self.vision_config or {}
@@ -59,6 +63,10 @@ class Blip2Config(BaseConfig):
 
     @property
     def vision(self) -> CLIPVisionConfig:
+        if self.vision_tower == "eva":
+            from ..clip.eva import EVAVisionConfig
+
+            return EVAVisionConfig.from_dict(self.vision_config)
         return CLIPVisionConfig.from_dict(dict(self.vision_config, patch_bias=True,
                                                use_pre_layernorm=False,
                                                post_layernorm_full=True))
@@ -135,7 +143,13 @@ class Blip2Module(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.vision_model = CLIPVisionTransformer(cfg.vision, dtype=self.dtype)
+        if cfg.vision_tower == "eva":
+            from ..clip.eva import EVAVisionTransformerModule
+
+            self.vision_model = EVAVisionTransformerModule(cfg.vision,
+                                                           dtype=self.dtype)
+        else:
+            self.vision_model = CLIPVisionTransformer(cfg.vision, dtype=self.dtype)
         self.query_tokens = self.param(
             "query_tokens", nn.initializers.normal(0.02),
             (1, cfg.num_query_tokens, cfg.qformer.hidden_size))
@@ -152,7 +166,10 @@ class Blip2Module(nn.Module):
 
     def encode_image(self, pixel_values):
         """pixels -> (B, num_query_tokens, lm_hidden) query features."""
-        image_embeds, _ = self.vision_model(pixel_values)
+        if self.config.vision_tower == "eva":
+            image_embeds = self.vision_model(pixel_values, return_all_features=True)
+        else:
+            image_embeds, _ = self.vision_model(pixel_values)
         queries = jnp.broadcast_to(
             self.query_tokens,
             (pixel_values.shape[0], *self.query_tokens.shape[1:])).astype(self.dtype)

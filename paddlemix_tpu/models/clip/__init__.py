@@ -9,3 +9,11 @@ from .modeling import (
     clip_contrastive_loss,
 )
 from .tokenizer import CLIPTokenizer
+from .eva import (
+    EVACLIP,
+    EVACLIPConfig,
+    EVAVisionConfig,
+    EVAVisionTransformer,
+    EVAVisionTransformerModule,
+    vision_rope_2d,
+)
