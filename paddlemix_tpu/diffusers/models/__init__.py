@@ -33,3 +33,4 @@ from .autoencoder_kl_temporal import (
     AutoencoderKLTemporalDecoder,
     AutoencoderKLTemporalDecoderConfig,
 )
+from .adapter import T2IAdapter, T2IAdapterConfig

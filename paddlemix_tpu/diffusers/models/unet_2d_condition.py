@@ -90,7 +90,7 @@ class CrossAttnDownBlock2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, context):
+    def __call__(self, x, temb, context, extra_residual=None):
         outputs = []
         head_dim = self.out_channels // self.num_heads
         for i in range(self.num_layers):
@@ -102,6 +102,11 @@ class CrossAttnDownBlock2D(nn.Module):
                                    ip_scale=self.ip_scale, quant=self.quant,
                                    tome_ratio=self.tome_ratio, dtype=self.dtype,
                                    name=f"attentions_{i}")(x, context)
+            if extra_residual is not None and i == self.num_layers - 1:
+                # T2I-Adapter intrablock residual (reference unet_2d_condition
+                # down_intrablock_additional_residuals: after the last
+                # resnet+attn, before downsampling)
+                x = x + extra_residual.astype(x.dtype)
             outputs.append(x)
         if self.add_downsample:
             x = Downsample2D(self.out_channels, quant=self.quant, dtype=self.dtype,
@@ -119,11 +124,13 @@ class DownBlock2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb):
+    def __call__(self, x, temb, extra_residual=None):
         outputs = []
         for i in range(self.num_layers):
             x = ResnetBlock2D(self.out_channels, groups=self.groups, quant=self.quant,
                               dtype=self.dtype, name=f"resnets_{i}")(x, temb)
+            if extra_residual is not None and i == self.num_layers - 1:
+                x = x + extra_residual.astype(x.dtype)
             outputs.append(x)
         if self.add_downsample:
             x = Downsample2D(self.out_channels, quant=self.quant, dtype=self.dtype,
@@ -221,7 +228,8 @@ class UNet2DConditionModule(nn.Module):
     def __call__(self, sample, timestep, encoder_hidden_states,
                  added_cond_kwargs=None, class_labels=None,
                  down_block_additional_residuals=None,
-                 mid_block_additional_residual=None):
+                 mid_block_additional_residual=None,
+                 down_intrablock_additional_residuals=None):
         cfg = self.config
         groups = cfg.norm_num_groups
         if cfg.center_input_sample:
@@ -266,20 +274,24 @@ class UNet2DConditionModule(nn.Module):
         heads = cfg.heads_per_block
         tf_layers = cfg.tf_layers_per_block
         skips = [sample]
+        intra = down_intrablock_additional_residuals
         for i, block_type in enumerate(cfg.down_block_types):
             ch = cfg.block_out_channels[i]
             last = i == len(cfg.down_block_types) - 1
+            extra = intra[i] if intra is not None and i < len(intra) else None
             if block_type == "CrossAttnDownBlock2D":
                 sample, outs = CrossAttnDownBlock2D(
                     ch, cfg.layers_per_block, heads[i], tf_layers[i],
                     cfg.use_linear_projection, add_downsample=not last, groups=groups,
                     ip_tokens=cfg.ip_adapter_tokens, ip_scale=cfg.ip_adapter_scale,
                     quant=cfg.quant, tome_ratio=cfg.tome_ratio,
-                    dtype=self.dtype, name=f"down_blocks_{i}")(sample, emb, encoder_hidden_states)
+                    dtype=self.dtype, name=f"down_blocks_{i}")(
+                    sample, emb, encoder_hidden_states, extra_residual=extra)
             else:
                 sample, outs = DownBlock2D(ch, cfg.layers_per_block, add_downsample=not last,
                                            groups=groups, quant=cfg.quant, dtype=self.dtype,
-                                           name=f"down_blocks_{i}")(sample, emb)
+                                           name=f"down_blocks_{i}")(
+                    sample, emb, extra_residual=extra)
             skips.extend(outs)
 
         if down_block_additional_residuals is not None:

@@ -38,3 +38,13 @@ from .pixart_alpha import PixArtAlphaPipeline
 from .shap_e import ShapEPipeline, ShapEPrior, ShapEPriorConfig, ShapERenderer, ShapERendererConfig
 from .kandinsky3 import Kandinsky3Pipeline
 from .stable_video import StableVideoDiffusionPipeline
+from .unconditional import (
+    ConsistencyModelPipeline,
+    DDIMPipeline,
+    DDPMPipeline,
+    LDMSuperResolutionPipeline,
+    RePaintPipeline,
+)
+from .t2i_adapter import StableDiffusionAdapterPipeline
+from .paint_by_example import PaintByExamplePipeline
+from .unclip import UnCLIPPipeline, UnCLIPTextProjModel

@@ -1,0 +1,221 @@
+"""E2E tiny tests for the round-2 pipeline additions: DDPM/DDIM, RePaint,
+consistency models, LDM super-resolution, T2I-Adapter, Paint-by-Example,
+unCLIP. Mirrors the reference's fast pipeline tests (tiny from-config
+components, shape + finiteness)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from paddlemix_tpu.diffusers.models import (
+    AutoencoderKL,
+    AutoencoderKLConfig,
+    PriorTransformer,
+    PriorTransformerConfig,
+    T2IAdapter,
+    T2IAdapterConfig,
+    UNet2DConditionConfig,
+    UNet2DConditionModel,
+    VQModel,
+    VQModelConfig,
+)
+from paddlemix_tpu.diffusers.schedulers import (
+    CMStochasticIterativeScheduler,
+    DDIMScheduler,
+    DDPMScheduler,
+    RePaintScheduler,
+    UnCLIPScheduler,
+)
+
+UNCOND_UNET = dict(
+    sample_size=16, in_channels=3, out_channels=3,
+    block_out_channels=(16, 32),
+    down_block_types=("DownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "UpBlock2D"),
+    layers_per_block=1, cross_attention_dim=8, norm_num_groups=8,
+)
+
+COND_UNET = dict(
+    sample_size=16, block_out_channels=(16, 32),
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    layers_per_block=1, cross_attention_dim=24, attention_head_dim=2,
+    norm_num_groups=8,
+)
+
+TINY_VAE = dict(block_out_channels=(16, 32), layers_per_block=1,
+                norm_num_groups=8, sample_size=32)
+
+
+def _unet(cfg):
+    return UNet2DConditionModel.from_config(UNet2DConditionConfig.from_dict(cfg))
+
+
+class _FakeImageEncoder:
+    """Stands in for the CLIP image tower (encode_image -> (B, D))."""
+
+    def __init__(self, dim):
+        self.dim = dim
+
+    def encode_image(self, px):
+        return jnp.mean(px, axis=(1, 2)) @ jnp.ones((px.shape[-1], self.dim)) * 0.1
+
+
+def test_ddpm_and_ddim_pipelines():
+    from paddlemix_tpu.diffusers.pipelines import DDIMPipeline, DDPMPipeline
+
+    unet = _unet(UNCOND_UNET)
+    out, = DDPMPipeline(unet=unet, scheduler=DDPMScheduler(
+        num_train_timesteps=100, clip_sample=True))(
+        batch_size=1, num_inference_steps=3)
+    assert out.shape == (1, 16, 16, 3) and np.isfinite(out).all()
+    out, = DDIMPipeline(unet=unet, scheduler=DDIMScheduler(
+        num_train_timesteps=100))(batch_size=1, num_inference_steps=3)
+    assert out.shape == (1, 16, 16, 3) and np.isfinite(out).all()
+
+
+def test_repaint_pipeline_keeps_known():
+    from paddlemix_tpu.diffusers.pipelines import RePaintPipeline
+
+    unet = _unet(UNCOND_UNET)
+    pipe = RePaintPipeline(unet=unet, scheduler=RePaintScheduler(
+        num_train_timesteps=50))
+    image = np.random.RandomState(0).rand(16, 16, 3).astype(np.float32) * 2 - 1
+    mask = np.ones((16, 16), np.float32)  # everything known
+    out, = pipe(image, mask, num_inference_steps=10, jump_length=3,
+                jump_n_sample=2)
+    assert out.shape == (1, 16, 16, 3)
+    # fully-known mask: result is the original image (in [0,1] space)
+    np.testing.assert_allclose(out[0], (image + 1) / 2, atol=5e-2)
+
+
+def test_consistency_model_pipeline():
+    from paddlemix_tpu.diffusers.pipelines import ConsistencyModelPipeline
+
+    unet = _unet(UNCOND_UNET)
+    pipe = ConsistencyModelPipeline(unet=unet,
+                                    scheduler=CMStochasticIterativeScheduler(
+                                        sigma_max=20.0))
+    out, = pipe(batch_size=1, num_inference_steps=2)
+    assert out.shape == (1, 16, 16, 3) and np.isfinite(out).all()
+
+
+def test_ldm_super_resolution_pipeline():
+    from paddlemix_tpu.diffusers.pipelines import LDMSuperResolutionPipeline
+
+    vq = VQModel.from_config(VQModelConfig(block_out_channels=(16,),
+                                           layers_per_block=1,
+                                           norm_num_groups=8, latent_channels=3))
+    unet = _unet(dict(UNCOND_UNET, in_channels=6, out_channels=3))
+    pipe = LDMSuperResolutionPipeline(vqvae=vq, unet=unet,
+                                      scheduler=DDIMScheduler(
+                                          num_train_timesteps=100))
+    low = np.zeros((16, 16, 3), np.float32)
+    out, = pipe(low, num_inference_steps=2)
+    assert out.ndim == 4 and np.isfinite(out).all()
+
+
+def _tiny_tokenizer(max_len=16):
+    from paddlemix_tpu.models.clip import CLIPTokenizer
+    from paddlemix_tpu.models.clip.tokenizer import bytes_to_unicode
+
+    vocab = {}
+    for tk in bytes_to_unicode().values():
+        vocab[tk] = len(vocab)
+        vocab[tk + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    return CLIPTokenizer(vocab, [], model_max_length=max_len)
+
+
+def _tiny_text_encoder(tok, dim=24):
+    from paddlemix_tpu.models.clip import CLIPTextConfig, CLIPTextModel
+
+    return CLIPTextModel.from_config(CLIPTextConfig(
+        vocab_size=tok.vocab_size, hidden_size=dim, intermediate_size=dim * 2,
+        num_hidden_layers=2, num_attention_heads=2, max_position_embeddings=16,
+        eos_token_id=tok.eos_token_id, projection_dim=dim), seed=0)
+
+
+def test_t2i_adapter_pipeline():
+    from paddlemix_tpu.diffusers.pipelines import StableDiffusionAdapterPipeline
+
+    unet = _unet(COND_UNET)
+    # TINY_VAE downscales 2x, so the adapter trunk matches with factor 2
+    # (latent 32x32 -> block features 32, 16)
+    adapter = T2IAdapter.from_config(T2IAdapterConfig(
+        channels=(16, 32), num_res_blocks=1, downscale_factor=2))
+    vae = AutoencoderKL.from_config(AutoencoderKLConfig.from_dict(TINY_VAE))
+    tok = _tiny_tokenizer()
+    pipe = StableDiffusionAdapterPipeline(
+        vae=vae, text_encoder=_tiny_text_encoder(tok), tokenizer=tok, unet=unet,
+        adapter=adapter, scheduler=DDIMScheduler(num_train_timesteps=100))
+    cond = np.zeros((64, 64, 3), np.float32)
+    out, = pipe("a sketch", image=cond, height=64, width=64,
+                num_inference_steps=2, output_type="np")
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_adapter_features_change_output():
+    """The intrablock residual hook is live: different condition images give
+    different outputs for identical latents."""
+    from paddlemix_tpu.diffusers.models import T2IAdapter as TA
+
+    unet = _unet(COND_UNET)
+    adapter = TA.from_config(T2IAdapterConfig(channels=(16, 32),
+                                              num_res_blocks=1,
+                                              downscale_factor=8))
+    x = jnp.ones((1, 16, 16, 4))
+    ctx = jnp.ones((1, 4, 24))
+    f1 = adapter(jnp.zeros((1, 128, 128, 3)))
+    f2 = adapter(jnp.ones((1, 128, 128, 3)))
+    o1 = unet.module.apply({"params": unet.params}, x, jnp.asarray(5), ctx,
+                           down_intrablock_additional_residuals=f1)
+    o2 = unet.module.apply({"params": unet.params}, x, jnp.asarray(5), ctx,
+                           down_intrablock_additional_residuals=f2)
+    assert float(jnp.abs(o1 - o2).max()) > 1e-6
+
+
+def test_paint_by_example_pipeline():
+    from paddlemix_tpu.diffusers.pipelines import PaintByExamplePipeline
+
+    vae = AutoencoderKL.from_config(AutoencoderKLConfig.from_dict(TINY_VAE))
+    unet = _unet(dict(COND_UNET, in_channels=9))
+    pipe = PaintByExamplePipeline(
+        vae=vae, image_encoder=_FakeImageEncoder(24), unet=unet,
+        scheduler=DDIMScheduler(num_train_timesteps=100))
+    img = np.zeros((32, 32, 3), np.float32)
+    mask = np.ones((32, 32), np.float32)
+    example = np.ones((32, 32, 3), np.float32)
+    out, = pipe(example, img, mask, num_inference_steps=2)
+    assert out.shape[1:] == (32, 32, 3) and np.isfinite(out).all()
+
+
+def test_unclip_pipeline():
+    from paddlemix_tpu.diffusers.pipelines import UnCLIPPipeline, UnCLIPTextProjModel
+    from paddlemix_tpu.diffusers.pipelines.unclip import UnCLIPTextProjConfig
+
+    tok = _tiny_tokenizer()
+    prior = PriorTransformer.from_config(PriorTransformerConfig(
+        embedding_dim=16, num_layers=2, num_attention_heads=2,
+        attention_head_dim=8, num_embeddings=16))
+    decoder = _unet(dict(COND_UNET, in_channels=3, out_channels=3,
+                         addition_embed_type="image", encoder_hid_dim=64))
+    text_proj = UnCLIPTextProjModel.from_config(UnCLIPTextProjConfig(
+        clip_embeddings_dim=16, clip_extra_context_tokens=2,
+        cross_attention_dim=24, time_embed_dim=64))
+    text = _tiny_text_encoder(tok, dim=16)
+    sr = _unet(dict(UNCOND_UNET, sample_size=32, in_channels=6, out_channels=3))
+
+    pipe = UnCLIPPipeline(
+        prior=prior, decoder=decoder, text_proj=text_proj, text_encoder=text,
+        tokenizer=tok,
+        prior_scheduler=UnCLIPScheduler(num_train_timesteps=100,
+                                        clip_sample=False),
+        decoder_scheduler=UnCLIPScheduler(num_train_timesteps=100),
+        super_res_first=sr,
+        super_res_scheduler=UnCLIPScheduler(num_train_timesteps=100))
+    out, = pipe("a cat", num_inference_steps=2, prior_num_inference_steps=2,
+                super_res_num_inference_steps=2)
+    assert out.shape == (1, 32, 32, 3) and np.isfinite(out).all()
