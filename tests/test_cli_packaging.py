@@ -1,0 +1,68 @@
+"""CLI + packaging + layer-decay tests (reference ppdiffusers-cli env /
+fp16_safetensors; paddlemix optimization layer-decay groups)."""
+
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def test_cli_env_runs():
+    from paddlemix_tpu.cli import main
+
+    assert main(["env"]) == 0
+
+
+def test_cli_fp16_safetensors(tmp_path):
+    from safetensors.numpy import save_file, load_file
+
+    from paddlemix_tpu.cli import main
+
+    save_file({"w": np.ones((4, 4), np.float32)}, str(tmp_path / "m.safetensors"))
+    assert main(["fp16-safetensors", str(tmp_path), "--dtype", "fp16"]) == 0
+    out = load_file(str(tmp_path / "m.fp16.safetensors"))
+    assert out["w"].dtype == np.float16
+
+
+def test_pyproject_parses():
+    import tomllib
+
+    with open("pyproject.toml", "rb") as f:
+        meta = tomllib.load(f)
+    assert meta["project"]["name"] == "paddlemix-tpu"
+    assert "paddlemix-tpu-cli" in meta["project"]["scripts"]
+
+
+def test_layer_decay_scales():
+    from paddlemix_tpu.optimization import (
+        create_optimizer,
+        layer_decay_scales,
+        layer_id_for_param,
+    )
+
+    params = {
+        "patch_embed": {"kernel": jnp.ones((2, 2))},
+        "blocks_0": {"kernel": jnp.ones((2, 2))},
+        "blocks_3": {"kernel": jnp.ones((2, 2))},
+        "head": {"kernel": jnp.ones((2, 2))},
+    }
+    ld = 0.9
+    scales = layer_decay_scales(params, ld, num_layers=4)
+    # embeddings get the deepest decay; the head gets scale 1.0
+    assert scales["patch_embed"]["kernel"] == ld ** 5
+    assert scales["blocks_0"]["kernel"] == ld ** 4
+    assert scales["blocks_3"]["kernel"] == ld ** 1
+    assert scales["head"]["kernel"] == 1.0
+    assert layer_id_for_param("blocks.3.attn.q", 6) == 4  # torch naming too
+
+    # the optimizer applies the scales to updates
+    tx = create_optimizer(lambda step: 1e-2, layer_decay=ld,
+                          params=params, num_layers=4, max_grad_norm=None)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    ratio = abs(float(updates["patch_embed"]["kernel"][0, 0])) / \
+        abs(float(updates["head"]["kernel"][0, 0]))
+    np.testing.assert_allclose(ratio, ld ** 5, rtol=1e-4)
