@@ -17,3 +17,18 @@ from .adalora import (
     allocator_update,
 )
 from .adalora import merge_params as adalora_merge_params
+from .tuners import (
+    LoHaConfig,
+    LoKrConfig,
+    OFTConfig,
+    PromptTuningConfig,
+    apply_prompt,
+    loha_init,
+    loha_merge,
+    lokr_init,
+    lokr_merge,
+    oft_init,
+    oft_merge,
+    peft_loss_fn,
+    prompt_init,
+)
