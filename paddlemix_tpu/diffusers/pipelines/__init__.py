@@ -48,3 +48,7 @@ from .unconditional import (
 from .t2i_adapter import StableDiffusionAdapterPipeline
 from .paint_by_example import PaintByExamplePipeline
 from .unclip import UnCLIPPipeline, UnCLIPTextProjModel
+from .semantic_guidance import (
+    SemanticStableDiffusionPipeline,
+    StableDiffusionPipelineSafe,
+)

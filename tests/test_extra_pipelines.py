@@ -219,3 +219,37 @@ def test_unclip_pipeline():
     out, = pipe("a cat", num_inference_steps=2, prior_num_inference_steps=2,
                 super_res_num_inference_steps=2)
     assert out.shape == (1, 32, 32, 3) and np.isfinite(out).all()
+
+
+def test_semantic_stable_diffusion_pipeline():
+    from paddlemix_tpu.diffusers.pipelines import SemanticStableDiffusionPipeline
+
+    tok = _tiny_tokenizer()
+    unet = _unet(COND_UNET)
+    vae = AutoencoderKL.from_config(AutoencoderKLConfig.from_dict(TINY_VAE))
+    pipe = SemanticStableDiffusionPipeline(
+        vae=vae, text_encoder=_tiny_text_encoder(tok), tokenizer=tok,
+        unet=unet, scheduler=DDIMScheduler(num_train_timesteps=100))
+    out, = pipe("a photo", editing_prompt=["sunglasses", "smile"],
+                reverse_editing_direction=[False, True],
+                edit_warmup_steps=1, height=32, width=32,
+                num_inference_steps=3, output_type="np")
+    assert np.isfinite(np.asarray(out)).all()
+    # guidance changes the result vs plain SD with the same seed
+    plain, = pipe("a photo", height=32, width=32, num_inference_steps=3,
+                  output_type="np")
+    assert np.abs(np.asarray(out) - np.asarray(plain)).max() > 1e-6
+
+
+def test_safe_stable_diffusion_pipeline():
+    from paddlemix_tpu.diffusers.pipelines import StableDiffusionPipelineSafe
+
+    tok = _tiny_tokenizer()
+    unet = _unet(COND_UNET)
+    vae = AutoencoderKL.from_config(AutoencoderKLConfig.from_dict(TINY_VAE))
+    pipe = StableDiffusionPipelineSafe(
+        vae=vae, text_encoder=_tiny_text_encoder(tok), tokenizer=tok,
+        unet=unet, scheduler=DDIMScheduler(num_train_timesteps=100))
+    out, = pipe("a photo", height=32, width=32, num_inference_steps=3,
+                sld_warmup_steps=0, output_type="np")
+    assert np.isfinite(np.asarray(out)).all()
