@@ -52,3 +52,4 @@ from .semantic_guidance import (
     SemanticStableDiffusionPipeline,
     StableDiffusionPipelineSafe,
 )
+from .alt_diffusion import AltDiffusionImg2ImgPipeline, AltDiffusionPipeline
