@@ -430,3 +430,95 @@ def greedy_generate(model: LlamaForCausalLM, input_ids, attention_mask=None,
     _GENERATE_CACHE[cache_key] = run
     return run(params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
                jax.random.PRNGKey(seed), inputs_embeds=inputs_embeds)
+
+
+def beam_search_generate(model: LlamaForCausalLM, input_ids,
+                         attention_mask=None, max_new_tokens: int = 32,
+                         num_beams: int = 4, length_penalty: float = 1.0,
+                         eos_token_id: Optional[int] = None):
+    """Jitted beam search (reference deploy generation_utils beam scorer;
+    the repo's greedy/sampling path lives in greedy_generate).
+
+    TPU design: the beam axis folds into the batch so every decode step is
+    one (B*K) cached forward; beam reordering is a gather on the cache's
+    batch dim inside the same jitted fori_loop — no host round-trips.
+    Returns (tokens (B, K, T) sorted best-first, scores (B, K))."""
+    params = model.params
+    module = model.module
+    eos = eos_token_id if eos_token_id is not None else model.config.eos_token_id
+    b, s = input_ids.shape
+    k = num_beams
+    max_len = s + max_new_tokens
+
+    @jax.jit
+    def run(params, input_ids, attention_mask):
+        cache = model.init_cache(b * k, max_len)
+        positions = jnp.cumsum(attention_mask, axis=-1) - 1
+        positions = jnp.where(attention_mask > 0, positions, -1)
+        seg = SegmentIds(attention_mask, attention_mask)
+        logits, pre_cache = module.apply(
+            {"params": params}, input_ids, positions,
+            segment_ids=seg, cache=model.init_cache(b, max_len))
+        lengths = attention_mask.sum(axis=-1).astype(jnp.int32)
+        last = logits[jnp.arange(b), lengths - 1]
+        logprobs = jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)
+
+        # init: top-k first tokens per sample
+        top_lp, top_tok = jax.lax.top_k(logprobs, k)            # (B, K)
+        scores = top_lp.reshape(b * k)
+        tokens = jnp.zeros((b * k, max_new_tokens), jnp.int32)
+        tokens = tokens.at[:, 0].set(top_tok.reshape(b * k))
+        done = tokens[:, 0] == eos
+
+        # replicate the prefilled cache across beams: (L, B, ...) -> (L, B*K, ...)
+        def rep(x):
+            return jnp.repeat(x, k, axis=1)
+
+        cache = KVCache(rep(pre_cache.k), rep(pre_cache.v),
+                        jnp.repeat(pre_cache.lengths + 0, k, axis=0)
+                        + jnp.repeat(lengths, k, axis=0) * 0)
+        cache = cache._replace(lengths=jnp.repeat(lengths, k, axis=0))
+
+        neg_inf = jnp.float32(-1e9)
+
+        def body(step, carry):
+            tokens, scores, cache, done = carry
+            cur = tokens[:, step][:, None]
+            pos = cache.lengths[:, None]
+            logits, cache = module.apply({"params": params}, cur, pos, cache=cache)
+            lp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+            v = lp.shape[-1]
+            # finished beams only extend with eos at zero cost
+            eos_only = jnp.full((v,), neg_inf).at[eos].set(0.0)
+            lp = jnp.where(done[:, None], eos_only[None, :], lp)
+            cand = scores[:, None] + lp                          # (B*K, V)
+            cand = cand.reshape(b, k * v)
+            new_scores, idx = jax.lax.top_k(cand, k)             # (B, K)
+            beam_idx = idx // v                                  # (B, K) source beam
+            tok_idx = (idx % v).astype(jnp.int32)
+            flat_src = (jnp.arange(b)[:, None] * k + beam_idx).reshape(b * k)
+
+            tokens = tokens[flat_src].at[:, step + 1].set(tok_idx.reshape(b * k))
+            cache = KVCache(cache.k[:, flat_src], cache.v[:, flat_src],
+                            cache.lengths[flat_src])
+            done = done[flat_src] | (tok_idx.reshape(b * k) == eos)
+            return tokens, new_scores.reshape(b * k), cache, done
+
+        tokens, scores, _, _ = jax.lax.fori_loop(
+            0, max_new_tokens - 1, body, (tokens, scores, cache, done))
+
+        # length penalty over generated length (up to first eos)
+        is_eos = tokens == eos
+        gen_len = jnp.where(is_eos.any(axis=-1),
+                            jnp.argmax(is_eos, axis=-1) + 1, max_new_tokens)
+        final = scores / (gen_len.astype(jnp.float32) ** length_penalty)
+        final = final.reshape(b, k)
+        order = jnp.argsort(-final, axis=-1)
+        tokens = tokens.reshape(b, k, -1)
+        tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
+        final = jnp.take_along_axis(final, order, axis=1)
+        return tokens, final
+
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, s), jnp.int32)
+    return run(params, jnp.asarray(input_ids), jnp.asarray(attention_mask))

@@ -156,3 +156,43 @@ def test_quantized_decode_matches_bf16(mode):
     # tiny perturbations; the logits bound above is the real criterion — just
     # require the first sampled continuation steps to broadly agree
     assert (np.asarray(out)[:, 0] == np.asarray(out_q)[:, 0]).all()
+
+
+def test_beam_search(model):
+    from paddlemix_tpu.models.llama.modeling import beam_search_generate
+
+    ids = jnp.asarray([[1, 5, 9, 11]], jnp.int32)
+    tokens, scores = beam_search_generate(model, ids, max_new_tokens=6,
+                                          num_beams=3)
+    assert tokens.shape == (1, 3, 6)
+    assert scores.shape == (1, 3)
+    # beams sorted best-first
+    assert float(scores[0, 0]) >= float(scores[0, 1]) >= float(scores[0, 2])
+    # greedy's first token is among the kept first tokens (top-k init)
+    greedy = greedy_generate(model, ids, max_new_tokens=6)
+    assert int(greedy[0, 0]) in [int(t) for t in tokens[0, :, 0]]
+
+
+def test_beam_search_beats_greedy_logprob(model):
+    """Beam search's total score must be >= the greedy trajectory's score
+    (the defining property of the search)."""
+    from paddlemix_tpu.models.llama.modeling import beam_search_generate
+
+    ids = jnp.asarray([[1, 7, 3]], jnp.int32)
+    tokens, scores = beam_search_generate(model, ids, max_new_tokens=5,
+                                          num_beams=4, length_penalty=0.0)
+
+    def traj_score(seq):
+        full = jnp.concatenate([ids[0], seq])[None]
+        logits, _ = model(full)
+        lp = jax.nn.log_softmax(logits[0].astype(jnp.float32), axis=-1)
+        total = 0.0
+        for i, tok in enumerate(np.asarray(seq)):
+            total += float(lp[ids.shape[1] - 1 + i, tok])
+            if tok == model.config.eos_token_id:
+                break
+        return total
+
+    greedy = greedy_generate(model, ids, max_new_tokens=5)
+    # length_penalty=0 => raw logprob sums comparable
+    assert float(scores[0, 0]) >= traj_score(greedy[0]) - 1e-3
