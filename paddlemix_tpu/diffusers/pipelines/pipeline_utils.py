@@ -48,6 +48,41 @@ _COMPONENT_CLASSES: Dict[str, str] = {
     "Transformer2DModel": "paddlemix_tpu.diffusers.models:DiTModel",
     "T5EncoderModel": "paddlemix_tpu.models.t5:T5EncoderModel",
     "CLIPImageProcessor": "paddlemix_tpu.processors.clip_processing:CLIPImageProcessor",
+    # round-2 additions
+    "UNetMotionModel": "paddlemix_tpu.diffusers.models:UNetMotionModel",
+    "UNetSpatioTemporalConditionModel":
+        "paddlemix_tpu.diffusers.models:UNetSpatioTemporalConditionModel",
+    "AutoencoderKLTemporalDecoder":
+        "paddlemix_tpu.diffusers.models:AutoencoderKLTemporalDecoder",
+    "T2IAdapter": "paddlemix_tpu.diffusers.models:T2IAdapter",
+    "PriorTransformer": "paddlemix_tpu.diffusers.models:PriorTransformer",
+    "VQModel": "paddlemix_tpu.diffusers.models:VQModel",
+    "RobertaSeriesModelWithTransformation":
+        "paddlemix_tpu.models.bert:RobertaSeriesModelWithTransformation",
+    "XLMRobertaModel": "paddlemix_tpu.models.bert:XLMRobertaModel",
+    "BertModel": "paddlemix_tpu.models.bert:BertModel",
+    "KDPM2DiscreteScheduler":
+        "paddlemix_tpu.diffusers.schedulers:KDPM2DiscreteScheduler",
+    "KDPM2AncestralDiscreteScheduler":
+        "paddlemix_tpu.diffusers.schedulers:KDPM2AncestralDiscreteScheduler",
+    "LMSDiscreteScheduler":
+        "paddlemix_tpu.diffusers.schedulers:LMSDiscreteScheduler",
+    "DPMSolverSinglestepScheduler":
+        "paddlemix_tpu.diffusers.schedulers:DPMSolverSinglestepScheduler",
+    "DEISMultistepScheduler":
+        "paddlemix_tpu.diffusers.schedulers:DEISMultistepScheduler",
+    "DPMSolverSDEScheduler":
+        "paddlemix_tpu.diffusers.schedulers:DPMSolverSDEScheduler",
+    "EDMEulerScheduler": "paddlemix_tpu.diffusers.schedulers:EDMEulerScheduler",
+    "EDMDPMSolverMultistepScheduler":
+        "paddlemix_tpu.diffusers.schedulers:EDMDPMSolverMultistepScheduler",
+    "IPNDMScheduler": "paddlemix_tpu.diffusers.schedulers:IPNDMScheduler",
+    "DDIMInverseScheduler":
+        "paddlemix_tpu.diffusers.schedulers:DDIMInverseScheduler",
+    "RePaintScheduler": "paddlemix_tpu.diffusers.schedulers:RePaintScheduler",
+    "UnCLIPScheduler": "paddlemix_tpu.diffusers.schedulers:UnCLIPScheduler",
+    "CMStochasticIterativeScheduler":
+        "paddlemix_tpu.diffusers.schedulers:CMStochasticIterativeScheduler",
 }
 
 

@@ -85,3 +85,23 @@ SCHEDULER_REGISTRY = {
     "ConsistencyDecoderScheduler": ConsistencyDecoderScheduler,
     "KarrasVeScheduler": KarrasVeScheduler,
 }
+
+
+class PreconfigEulerAncestralDiscreteScheduler(EulerAncestralDiscreteScheduler):
+    """Reference preconfig/preconfig_scheduling_euler_ancestral_discrete.py:
+    precomputes per-step sigma tables at set_timesteps to avoid per-step host
+    math. Our schedulers are state-pytree solvers whose set_timesteps already
+    precomputes every table and whose step is jitted — the preconfig variant
+    is the base class by construction; kept as a named alias for
+    model_index.json compatibility."""
+
+
+class PreconfigLMSDiscreteScheduler(LMSDiscreteScheduler):
+    """Reference preconfig/preconfig_scheduling_lms_discrete.py; see
+    PreconfigEulerAncestralDiscreteScheduler — the LMS coefficient matrix is
+    already precomputed in set_timesteps here."""
+
+
+SCHEDULER_REGISTRY["PreconfigEulerAncestralDiscreteScheduler"] = \
+    PreconfigEulerAncestralDiscreteScheduler
+SCHEDULER_REGISTRY["PreconfigLMSDiscreteScheduler"] = PreconfigLMSDiscreteScheduler

@@ -1,0 +1,96 @@
+"""The training-example loss functions produce finite losses and gradients on
+tiny models (mirrors how the reference examples are smoke-tested)."""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "examples"))
+
+
+def _load(name):
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", name)
+    spec = importlib.util.spec_from_file_location(name[:-3], path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _grad_total(loss_fn, params, batch):
+    loss, grads = jax.value_and_grad(loss_fn)(params, batch,
+                                              jax.random.PRNGKey(0))
+    total = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
+    return float(loss), total
+
+
+def test_dit_training_loss():
+    from paddlemix_tpu.diffusers import DDPMScheduler
+    from paddlemix_tpu.diffusers.models import DiTConfig, DiTModel
+
+    mod = _load("train_dit.py")
+    model = DiTModel.from_config(DiTConfig(
+        sample_size=8, patch_size=2, hidden_size=32, num_layers=2,
+        num_attention_heads=2, num_classes=10))
+    loss_fn = mod.make_dit_loss_fn(model, DDPMScheduler(num_train_timesteps=100))
+    batch = {"latents": jnp.ones((2, 8, 8, 4)),
+             "labels": jnp.asarray([1, 2], jnp.int32)}
+    loss, total = _grad_total(loss_fn, model.params, batch)
+    assert np.isfinite(loss) and total > 0
+
+
+def test_lcm_distill_loss():
+    from paddlemix_tpu.diffusers import DDIMScheduler
+    from paddlemix_tpu.diffusers.models import (
+        UNet2DConditionConfig,
+        UNet2DConditionModel,
+    )
+
+    mod = _load("train_lcm_distill.py")
+    unet = UNet2DConditionModel.from_config(UNet2DConditionConfig.from_dict(
+        dict(sample_size=8, block_out_channels=(16, 32),
+             down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+             up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+             layers_per_block=1, cross_attention_dim=24,
+             attention_head_dim=2, norm_num_groups=8)))
+    teacher = jax.tree_util.tree_map(jnp.copy, unet.params)
+    loss_fn = mod.make_lcm_loss_fn(unet, teacher,
+                                   DDIMScheduler(num_train_timesteps=100),
+                                   num_ddim_steps=10)
+    batch = {"latents": jnp.ones((2, 8, 8, 4)),
+             "encoder_hidden_states": jnp.ones((2, 4, 24))}
+    loss, total = _grad_total(loss_fn, unet.params, batch)
+    assert np.isfinite(loss) and total > 0
+
+
+def test_controlnet_training_loss():
+    from paddlemix_tpu.diffusers import DDPMScheduler
+    from paddlemix_tpu.diffusers.models import (
+        ControlNetConfig,
+        ControlNetModel,
+        UNet2DConditionConfig,
+        UNet2DConditionModel,
+    )
+
+    mod = _load("train_controlnet.py")
+    unet_cfg = dict(sample_size=8, block_out_channels=(16, 32),
+                    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+                    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+                    layers_per_block=1, cross_attention_dim=24,
+                    attention_head_dim=2, norm_num_groups=8)
+    unet = UNet2DConditionModel.from_config(
+        UNet2DConditionConfig.from_dict(unet_cfg))
+    cn = ControlNetModel.from_config(ControlNetConfig.from_dict(
+        dict(unet_cfg, conditioning_channels=3)))
+    loss_fn = mod.make_controlnet_loss_fn(unet, cn,
+                                          DDPMScheduler(num_train_timesteps=100))
+    batch = {"latents": jnp.ones((1, 8, 8, 4)),
+             "encoder_hidden_states": jnp.ones((1, 4, 24)),
+             "conditioning": jnp.ones((1, 64, 64, 3))}
+    loss, total = _grad_total(loss_fn, cn.params, batch)
+    assert np.isfinite(loss) and total > 0
