@@ -152,7 +152,22 @@ class LlamaAttention(nn.Module):
         q, k = apply_rope(q, k, cos, sin)
 
         new_cache = None
-        if cache is not None:
+        from .paged import PagedKVCache
+
+        if isinstance(cache, PagedKVCache):
+            # paged/blocked KV cache (reference paddlenlp_ops block_attn):
+            # allocation happened once at the top of the step (LlamaModule);
+            # each layer scatters into its pool blocks and attends over the
+            # gathered dense view masked by position
+            new_cache = cache.update(layer_idx, k, v, positions)
+            k_cache, v_cache = new_cache.layer_view(layer_idx)
+            L = k_cache.shape[1]
+            key_pos = jnp.arange(L)[None, None, None, :]
+            q_pos = positions[:, None, :, None]
+            mask = key_pos <= q_pos
+            attn_bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
+            out = attention_xla(q, k_cache, v_cache, bias=attn_bias)
+        elif cache is not None:
             # in-place update of the stacked (layers, B, L, kvh, hd) buffers:
             # scatter into the while_loop-carried arrays directly (a per-layer
             # slice + re-stack forces XLA to materialize the whole cache every
@@ -271,6 +286,10 @@ class LlamaModule(nn.Module):
 
         x = shard_activations(x)
         cur_cache = cache
+        from .paged import PagedKVCache
+
+        if isinstance(cur_cache, PagedKVCache):
+            cur_cache = cur_cache.allocate_for(positions)  # once per step
         for i, layer in enumerate(self.layers):
             x, new_cache = layer(x, positions, segment_ids=segment_ids,
                                  cache=cur_cache, layer_idx=i,
@@ -283,7 +302,10 @@ class LlamaModule(nn.Module):
         out_cache = None
         if cache is not None:
             valid = (positions >= 0).sum(axis=-1).astype(jnp.int32)
-            out_cache = KVCache(cur_cache.k, cur_cache.v, cache.lengths + valid)
+            if isinstance(cur_cache, PagedKVCache):
+                out_cache = cur_cache._replace(lengths=cache.lengths + valid)
+            else:
+                out_cache = KVCache(cur_cache.k, cur_cache.v, cache.lengths + valid)
         hidden = x
         if not self.with_lm_head:
             return hidden, out_cache
