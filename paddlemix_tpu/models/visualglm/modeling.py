@@ -5,8 +5,11 @@ Rebuild of the reference VisualGLM (paddlemix/models/visualglm/modeling.py,
 fused-qkv with bias, multi-query attention, partial rotary on half the head
 dims, gated SwiGLU via a single 2x-wide projection). The reference wraps the
 legacy ChatGLM-v1 (2D prefix positions); its successors and the official
-VisualGLM upgrades use this GLM2 layout — the v1 delta is documented here
-rather than reimplemented."""
+VisualGLM upgrades use this GLM2 layout. glm_version=1 enables the v1
+prefix-LM delta: bidirectional attention over the prompt prefix (causal only
+over generated tokens) and the 2D position scheme (absolute positions frozen
+at the gmask inside the prefix + per-token block positions after it), each
+stream rotating a quarter of the head dims."""
 
 from __future__ import annotations
 
@@ -39,6 +42,7 @@ class ChatGLMConfig(BaseConfig):
     layernorm_epsilon: float = 1e-5
     rope_theta: float = 10000.0
     eos_token_id: int = 2
+    glm_version: int = 2  # 1 = legacy prefix-LM ChatGLM (VisualGLM v1)
 
     @property
     def head_dim_(self):
@@ -50,7 +54,8 @@ class GLMBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, positions, segment_ids=None):
+    def __call__(self, x, positions, segment_ids=None, prefix_mask=None,
+                 block_positions=None):
         cfg = self.config
         b, s, _ = x.shape
         hd = cfg.head_dim_
@@ -65,14 +70,39 @@ class GLMBlock(nn.Module):
         v = v.reshape(b, s, kvh, hd)
         # partial rotary: first half of head dims, GPT-J interleaved pairs
         rot = hd // 2
-        cos, sin = rope_cos_sin(positions, rot, cfg.rope_theta)
-        # interleave-duplicate angles for the gptj layout
-        cos = jnp.repeat(cos[..., : rot // 2], 2, axis=-1)
-        sin = jnp.repeat(sin[..., : rot // 2], 2, axis=-1)
-        q_rot, k_rot = apply_rope_gptj(q[..., :rot], k[..., :rot], cos, sin)
-        q = jnp.concatenate([q_rot, q[..., rot:]], axis=-1)
-        k = jnp.concatenate([k_rot, k[..., rot:]], axis=-1)
-        attn = scaled_dot_product_attention(q, k, v, causal=True, segment_ids=segment_ids)
+        if cfg.glm_version == 1 and block_positions is not None:
+            # v1 2D rope (reference modeling_chatglm RotaryEmbeddings x2):
+            # absolute positions rotate the first quarter, block positions
+            # the second quarter
+            qr = rot // 2
+            cos_a, sin_a = rope_cos_sin(positions, qr, cfg.rope_theta)
+            cos_b, sin_b = rope_cos_sin(block_positions, qr, cfg.rope_theta)
+            cos_a = jnp.repeat(cos_a[..., : qr // 2], 2, axis=-1)
+            sin_a = jnp.repeat(sin_a[..., : qr // 2], 2, axis=-1)
+            cos_b = jnp.repeat(cos_b[..., : qr // 2], 2, axis=-1)
+            sin_b = jnp.repeat(sin_b[..., : qr // 2], 2, axis=-1)
+            qa, ka = apply_rope_gptj(q[..., :qr], k[..., :qr], cos_a, sin_a)
+            qb, kb = apply_rope_gptj(q[..., qr:rot], k[..., qr:rot], cos_b, sin_b)
+            q = jnp.concatenate([qa, qb, q[..., rot:]], axis=-1)
+            k = jnp.concatenate([ka, kb, k[..., rot:]], axis=-1)
+        else:
+            cos, sin = rope_cos_sin(positions, rot, cfg.rope_theta)
+            # interleave-duplicate angles for the gptj layout
+            cos = jnp.repeat(cos[..., : rot // 2], 2, axis=-1)
+            sin = jnp.repeat(sin[..., : rot // 2], 2, axis=-1)
+            q_rot, k_rot = apply_rope_gptj(q[..., :rot], k[..., :rot], cos, sin)
+            q = jnp.concatenate([q_rot, q[..., rot:]], axis=-1)
+            k = jnp.concatenate([k_rot, k[..., rot:]], axis=-1)
+        if cfg.glm_version == 1 and prefix_mask is not None:
+            # prefix-LM: key j visible when j is in the prefix OR j <= i
+            causal = jnp.tril(jnp.ones((s, s), bool))[None]
+            visible = causal | prefix_mask[:, None, :].astype(bool)
+            bias = jnp.where(visible, 0.0, -1e9).astype(jnp.float32)[:, None]
+            attn = scaled_dot_product_attention(q, k, v, bias=bias,
+                                                segment_ids=segment_ids)
+        else:
+            attn = scaled_dot_product_attention(q, k, v, causal=True,
+                                                segment_ids=segment_ids)
         x = x + nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
                          name="dense")(attn.reshape(b, s, nh * hd))
         h = RMSNorm(cfg.layernorm_epsilon, dtype=self.dtype,
@@ -100,13 +130,25 @@ class ChatGLMModule(nn.Module):
         return self.embed_tokens(ids)
 
     def __call__(self, input_ids=None, positions=None, *, inputs_embeds=None,
-                 segment_ids=None):
+                 segment_ids=None, prefix_mask=None):
+        """prefix_mask (B, S) 1 = prompt token (glm_version=1 only): enables
+        bidirectional prefix attention and derives the v1 2D positions —
+        absolute ids frozen at the prefix end, block ids counting generated
+        tokens (reference modeling_chatglm get_position_ids)."""
         x = self.embed_tokens(input_ids) if inputs_embeds is None else inputs_embeds
         b, s = x.shape[:2]
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+        block_positions = None
+        if self.config.glm_version == 1 and prefix_mask is not None:
+            pm = prefix_mask.astype(jnp.int32)
+            prefix_len = pm.sum(axis=1, keepdims=True)
+            base = jnp.broadcast_to(jnp.arange(s), (b, s))
+            positions = jnp.where(pm > 0, base, prefix_len - 1)
+            block_positions = jnp.where(pm > 0, 0, base - prefix_len + 1)
         for layer in self.layers:
-            x = layer(x, positions, segment_ids)
+            x = layer(x, positions, segment_ids, prefix_mask=prefix_mask,
+                      block_positions=block_positions)
         return self.output_layer(self.final_layernorm(x))
 
 

@@ -828,3 +828,37 @@ def test_kandinsky3_pipeline():
                output_type="np")[0]
     assert img.shape == (1, 32, 32, 3)
     assert np.isfinite(img).all()
+
+
+def test_visualglm_v1_prefix_lm():
+    """ChatGLM-v1 mode (reference VisualGLM's legacy GLM): prefix tokens
+    attend bidirectionally — a LATER prefix token changes an EARLIER
+    position's logits, impossible under the causal v2 mode."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from paddlemix_tpu.models.visualglm.modeling import ChatGLMConfig, ChatGLMModule
+
+    cfg = ChatGLMConfig(vocab_size=64, hidden_size=32, ffn_hidden_size=64,
+                        num_layers=2, num_attention_heads=4,
+                        multi_query_group_num=2, glm_version=1)
+    module = ChatGLMModule(cfg)
+    ids = jnp.asarray([[1, 5, 9, 11, 3, 7]], jnp.int32)
+    params = module.init(jax.random.PRNGKey(0), ids)["params"]
+    prefix = jnp.asarray([[1, 1, 1, 1, 0, 0]], jnp.int32)
+
+    out1 = module.apply({"params": params}, ids, prefix_mask=prefix)
+    ids2 = ids.at[0, 3].set(20)  # change the LAST prefix token
+    out2 = module.apply({"params": params}, ids2, prefix_mask=prefix)
+    # position 0 sees the change (bidirectional prefix)
+    assert float(jnp.abs(out1[0, 0] - out2[0, 0]).max()) > 1e-6
+
+    # v2 causal: same edit is invisible at position 0
+    cfg2 = dataclasses.replace(cfg, glm_version=2)
+    module2 = ChatGLMModule(cfg2)
+    o1 = module2.apply({"params": params}, ids)
+    o2 = module2.apply({"params": params}, ids2)
+    np.testing.assert_allclose(np.asarray(o1[0, 0]), np.asarray(o2[0, 0]),
+                               atol=1e-6)
