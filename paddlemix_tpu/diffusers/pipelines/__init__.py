@@ -53,3 +53,4 @@ from .semantic_guidance import (
     StableDiffusionPipelineSafe,
 )
 from .alt_diffusion import AltDiffusionImg2ImgPipeline, AltDiffusionPipeline
+from .audio_diffusion import AudioDiffusionPipeline, Mel

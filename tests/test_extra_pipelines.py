@@ -253,3 +253,24 @@ def test_safe_stable_diffusion_pipeline():
     out, = pipe("a photo", height=32, width=32, num_inference_steps=3,
                 sld_warmup_steps=0, output_type="np")
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mel_roundtrip_and_audio_diffusion():
+    from paddlemix_tpu.diffusers.pipelines import AudioDiffusionPipeline, Mel
+
+    mel = Mel(x_res=16, y_res=16, n_fft=256, hop_length=64)
+    # a sine wave yields a concentrated spectrogram band
+    t = np.arange(mel.slice_len) / mel.sr
+    wave = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    img = mel.spectrogram(wave)
+    assert img.shape == (16, 16) and img.max() > 200
+    audio = mel.image_to_audio(img, n_iter=4)
+    assert np.isfinite(audio).all() and audio.shape[0] > 0
+
+    unet = _unet(dict(UNCOND_UNET, in_channels=1, out_channels=1))
+    pipe = AudioDiffusionPipeline(unet=unet,
+                                  scheduler=DDIMScheduler(num_train_timesteps=100),
+                                  mel=mel)
+    images, audios = pipe(num_inference_steps=2)
+    assert images.shape == (1, 16, 16)
+    assert np.isfinite(audios).all()
