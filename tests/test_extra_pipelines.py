@@ -274,3 +274,58 @@ def test_mel_roundtrip_and_audio_diffusion():
     images, audios = pipe(num_inference_steps=2)
     assert images.shape == (1, 16, 16)
     assert np.isfinite(audios).all()
+
+
+class _FakeQFormer:
+    """Stands in for the BLIP-2 image->query-token stack."""
+
+    def __init__(self, n_query, dim):
+        self.n_query, self.dim = n_query, dim
+
+    def encode_image(self, px):
+        b = px.shape[0]
+        base = jnp.mean(px, axis=(1, 2, 3))[:, None, None]
+        return jnp.broadcast_to(base, (b, self.n_query, self.dim)) * 0.1
+
+
+def test_blip_diffusion_pipeline():
+    from paddlemix_tpu.diffusers.pipelines import (
+        BlipDiffusionPipeline,
+        ContextCLIPTextModel,
+    )
+    from paddlemix_tpu.models.clip import CLIPTextConfig
+
+    tok = _tiny_tokenizer()
+    text = ContextCLIPTextModel.from_config(CLIPTextConfig(
+        vocab_size=tok.vocab_size, hidden_size=24, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=2, max_position_embeddings=24,
+        eos_token_id=tok.eos_token_id), seed=0)
+    unet = _unet(COND_UNET)
+    vae = AutoencoderKL.from_config(AutoencoderKLConfig.from_dict(TINY_VAE))
+    pipe = BlipDiffusionPipeline(
+        vae=vae, text_encoder=text, tokenizer=tok, unet=unet,
+        scheduler=DDIMScheduler(num_train_timesteps=100),
+        qformer=_FakeQFormer(4, 24))
+    ref_img = np.ones((32, 32, 3), np.float32)
+    out, = pipe("a dog", ref_img, height=32, width=32, num_inference_steps=2)
+    assert np.isfinite(np.asarray(out)).all()
+    # subject grounding is live: a different reference image changes the output
+    out2, = pipe("a dog", ref_img * 0.0, height=32, width=32,
+                 num_inference_steps=2)
+    assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-6
+
+
+def test_context_clip_splices_tokens():
+    from paddlemix_tpu.diffusers.pipelines import ContextCLIPTextModel
+    from paddlemix_tpu.models.clip import CLIPTextConfig
+
+    model = ContextCLIPTextModel.from_config(CLIPTextConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=1, num_attention_heads=2,
+        max_position_embeddings=16), seed=0)
+    ids = jnp.asarray([[1, 5, 9, 2]], jnp.int32)
+    ctx = jnp.ones((1, 3, 16))
+    out = model(ids, ctx_embeddings=ctx)
+    assert out.shape == (1, 7, 16)  # 4 tokens + 3 spliced context tokens
+    plain = model(ids)
+    assert plain.shape == (1, 4, 16)
