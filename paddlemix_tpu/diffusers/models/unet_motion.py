@@ -208,8 +208,12 @@ class UNetMotionModule(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, sample, timestep, encoder_hidden_states):
-        """sample: (B, T, H, W, C); context: (B, S, D) broadcast to frames."""
+    def __call__(self, sample, timestep, encoder_hidden_states,
+                 added_cond_kwargs=None):
+        """sample: (B, T, H, W, C); context: (B, S, D) broadcast to frames.
+        added_cond_kwargs carries SDXL text_time conditioning for the
+        Hotshot-XL variant (reference pipelines/hotshot_xl: AnimateDiff-style
+        motion modules on the SDXL backbone)."""
         cfg = self.config
         groups = cfg.norm_num_groups
         b, t, hh, ww, c = sample.shape
@@ -224,6 +228,16 @@ class UNetMotionModule(nn.Module):
                           cfg.freq_shift)(t_rep)
         emb = TimestepEmbedding(time_embed_dim, dtype=self.dtype,
                                 name="time_embedding")(t_emb.astype(self.dtype))
+        if cfg.addition_embed_type == "text_time":
+            text_embeds = jnp.repeat(added_cond_kwargs["text_embeds"], t, axis=0)
+            time_ids = jnp.repeat(added_cond_kwargs["time_ids"], t, axis=0)
+            time_embeds = Timesteps(cfg.addition_time_embed_dim,
+                                    cfg.flip_sin_to_cos, cfg.freq_shift)(
+                time_ids.reshape(-1)).reshape(text_embeds.shape[0], -1)
+            add_embeds = jnp.concatenate([text_embeds, time_embeds], axis=-1)
+            emb = emb + TimestepEmbedding(time_embed_dim, dtype=self.dtype,
+                                          name="add_embedding")(
+                add_embeds.astype(self.dtype))
 
         sample = nn.Conv(cfg.block_out_channels[0], (3, 3),
                          padding=((1, 1), (1, 1)), dtype=self.dtype,
@@ -282,8 +296,16 @@ class UNetMotionModel(PretrainedModel):
         s = 16
         ctx_dim = config.cross_attention_dim if isinstance(config.cross_attention_dim, int) \
             else config.cross_attention_dim[0]
+        kwargs = {}
+        if config.addition_embed_type == "text_time":
+            text_dim = config.projection_class_embeddings_input_dim - \
+                6 * config.addition_time_embed_dim
+            kwargs["added_cond_kwargs"] = {
+                "text_embeds": jnp.zeros((1, text_dim)),
+                "time_ids": jnp.zeros((1, 6)),
+            }
         return (jnp.zeros((1, min(config.num_frames, 4), s, s, config.in_channels)),
-                jnp.asarray(0), jnp.zeros((1, 8, ctx_dim))), {}
+                jnp.asarray(0), jnp.zeros((1, 8, ctx_dim))), kwargs
 
     def load_motion_adapter(self, path_or_state_dict) -> int:
         """Load a diffusers-format AnimateDiff MotionAdapter state dict

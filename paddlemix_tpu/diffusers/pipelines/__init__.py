@@ -55,3 +55,4 @@ from .semantic_guidance import (
 from .alt_diffusion import AltDiffusionImg2ImgPipeline, AltDiffusionPipeline
 from .audio_diffusion import AudioDiffusionPipeline, Mel
 from .blip_diffusion import BlipDiffusionPipeline, ContextCLIPTextModel
+from .text_to_video import AnimateDiffPipeline, HotshotXLPipeline

@@ -92,3 +92,108 @@ class TextToVideoPipeline(DiffusionPipeline):
         frames = self.vae.decode(flat.astype(self.vae.dtype)).astype(jnp.float32)
         frames = np.asarray(jnp.clip(frames / 2 + 0.5, 0, 1))
         return (frames.reshape(b, t, *frames.shape[1:]),)
+
+
+@register_pipeline
+class AnimateDiffPipeline(TextToVideoPipeline):
+    """Named AnimateDiff entry (reference pipelines/animatediff): the
+    TextToVideo loop over the motion UNet, plus motion-adapter loading."""
+
+    def load_motion_adapter(self, path_or_state_dict):
+        return self.unet.load_motion_adapter(path_or_state_dict)
+
+
+@register_pipeline
+class HotshotXLPipeline(TextToVideoPipeline):
+    """Hotshot-XL (reference pipelines/hotshot_xl): AnimateDiff motion modules
+    on the SDXL backbone — the motion UNet carries SDXL text_time added
+    conditioning; dual text encoders supply (context, pooled) like SDXL."""
+
+    def __init__(self, vae, text_encoder, text_encoder_2, tokenizer,
+                 tokenizer_2, unet, scheduler):
+        super().__init__(vae=vae, text_encoder=text_encoder,
+                         tokenizer=tokenizer, unet=unet, scheduler=scheduler)
+        self.register_modules(text_encoder_2=text_encoder_2,
+                              tokenizer_2=tokenizer_2)
+
+    def __call__(self, prompt, num_frames: int = 8, height: int = 512,
+                 width: int = 512, num_inference_steps: int = 25,
+                 guidance_scale: float = 7.5, negative_prompt=None,
+                 seed: int = 0, output_type: str = "np"):
+        do_cfg = guidance_scale > 1.0
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        negative_prompt = negative_prompt or [""] * len(prompt)
+        if isinstance(negative_prompt, str):
+            negative_prompt = [negative_prompt] * len(prompt)
+
+        def encode(texts):
+            # SDXL convention: penultimate hidden states, pooled from enc 2
+            embeds = []
+            pooled = None
+            for tok, enc in ((self.tokenizer, self.text_encoder),
+                             (self.tokenizer_2, self.text_encoder_2)):
+                ids = jnp.asarray(tok(texts)["input_ids"])
+                _, pooled, hiddens = enc(ids, output_hidden_states=True)
+                embeds.append(hiddens[-2])
+            return jnp.concatenate(embeds, axis=-1), pooled
+
+        cond, pooled = encode(prompt)
+        uncond, un_pooled = encode(negative_prompt)
+        context = jnp.concatenate([uncond, cond]) if do_cfg else cond
+        text_embeds = jnp.concatenate([un_pooled, pooled]) if do_cfg else pooled
+        b = cond.shape[0]
+        time_ids = jnp.tile(jnp.asarray(
+            [[height, width, 0, 0, height, width]], jnp.float32), (b, 1))
+        if do_cfg:
+            time_ids = jnp.concatenate([time_ids, time_ids])
+
+        shape = (b, num_frames, height // self.vae_scale_factor,
+                 width // self.vae_scale_factor, self.unet.config.in_channels)
+        latents = jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32)
+        from .pipeline_utils import make_scheduler_state
+
+        state = make_scheduler_state(self.scheduler, num_inference_steps,
+                                     sample_shape=shape)
+        latents = latents * self.scheduler.init_noise_sigma
+        unet, scheduler = self.unet, self.scheduler
+
+        def build():
+            def denoise(params, latents, context, text_embeds, time_ids, state, gs):
+                def body(i, carry):
+                    latents, state = carry
+                    t = state.timesteps[i]
+                    lat_in = jnp.concatenate([latents, latents]) if do_cfg else latents
+                    lat_in = scheduler.scale_model_input(state, lat_in, i)
+                    t_in = jnp.broadcast_to(t, (lat_in.shape[0],))
+                    pred = unet.module.apply(
+                        {"params": params}, lat_in.astype(unet.dtype), t_in,
+                        context.astype(unet.dtype),
+                        added_cond_kwargs={
+                            "text_embeds": text_embeds.astype(unet.dtype),
+                            "time_ids": time_ids.astype(unet.dtype),
+                        }).astype(jnp.float32)
+                    if do_cfg:
+                        un, co = jnp.split(pred, 2)
+                        pred = un + gs * (co - un)
+                    latents, state = scheduler.step(state, pred, i, latents)
+                    return latents, state
+
+                out, _ = jax.lax.fori_loop(0, num_inference_steps, body,
+                                           (latents, state))
+                return out
+
+            return jax.jit(denoise)
+
+        latents = self._jit.get(("hotshot", shape, num_inference_steps, do_cfg),
+                                build)(
+            self.unet.params, latents, context, text_embeds, time_ids, state,
+            jnp.asarray(guidance_scale, jnp.float32))
+        if output_type == "latent":
+            return (latents,)
+        bshape = latents.shape
+        flat = latents.reshape(bshape[0] * num_frames, *bshape[2:])
+        flat = flat / self.vae.config.scaling_factor
+        frames = self.vae.decode(flat.astype(self.vae.dtype)).astype(jnp.float32)
+        frames = np.asarray(jnp.clip(frames / 2 + 0.5, 0, 1))
+        return (frames.reshape(bshape[0], num_frames, *frames.shape[1:]),)

@@ -329,3 +329,35 @@ def test_context_clip_splices_tokens():
     assert out.shape == (1, 7, 16)  # 4 tokens + 3 spliced context tokens
     plain = model(ids)
     assert plain.shape == (1, 4, 16)
+
+
+def test_hotshot_xl_pipeline():
+    from paddlemix_tpu.diffusers.models import UNetMotionConfig, UNetMotionModel
+    from paddlemix_tpu.diffusers.pipelines import HotshotXLPipeline
+    from paddlemix_tpu.models.clip import CLIPTextModelWithProjection, CLIPTextConfig
+
+    tok = _tiny_tokenizer()
+
+    def tiny_proj_encoder(dim):
+        return CLIPTextModelWithProjection.from_config(CLIPTextConfig(
+            vocab_size=tok.vocab_size, hidden_size=dim,
+            intermediate_size=dim * 2, num_hidden_layers=2,
+            num_attention_heads=2, max_position_embeddings=16,
+            eos_token_id=tok.eos_token_id, projection_dim=dim), seed=0)
+
+    unet = UNetMotionModel.from_config(UNetMotionConfig.from_dict(dict(
+        sample_size=8, block_out_channels=(16, 32),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1, cross_attention_dim=24, attention_head_dim=2,
+        norm_num_groups=8, num_frames=2, motion_num_heads=2,
+        addition_embed_type="text_time", addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=12 + 6 * 8)))
+    vae = AutoencoderKL.from_config(AutoencoderKLConfig.from_dict(TINY_VAE))
+    pipe = HotshotXLPipeline(
+        vae=vae, text_encoder=tiny_proj_encoder(12),
+        text_encoder_2=tiny_proj_encoder(12), tokenizer=tok, tokenizer_2=tok,
+        unet=unet, scheduler=DDIMScheduler(num_train_timesteps=100))
+    frames, = pipe("a gif of a cat", num_frames=2, height=32, width=32,
+                   num_inference_steps=2)
+    assert frames.shape[:2] == (1, 2) and np.isfinite(frames).all()
