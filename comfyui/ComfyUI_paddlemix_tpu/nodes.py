@@ -22,22 +22,28 @@ CATEGORY_PIPE = "paddlemix_tpu/pipelines"
 CATEGORY_OUT = "paddlemix_tpu/output"
 
 SCHEDULERS = ["euler", "euler-ancestral", "pndm", "heun", "dpm-multi",
-              "unipc-multi", "ddim", "ddpm", "deis-multi", "lcm"]
+              "dpm-single", "unipc-multi", "ddim", "ddpm", "deis-multi",
+              "lcm", "lms", "kdpm2", "kdpm2-ancestral"]
 
 
 def get_scheduler(name: str):
     from paddlemix_tpu.diffusers.schedulers import (
         DDIMScheduler, DDPMScheduler, DEISMultistepScheduler,
-        DPMSolverMultistepScheduler, EulerAncestralDiscreteScheduler,
-        EulerDiscreteScheduler, HeunDiscreteScheduler, LCMScheduler,
+        DPMSolverMultistepScheduler, DPMSolverSinglestepScheduler,
+        EulerAncestralDiscreteScheduler, EulerDiscreteScheduler,
+        HeunDiscreteScheduler, KDPM2AncestralDiscreteScheduler,
+        KDPM2DiscreteScheduler, LCMScheduler, LMSDiscreteScheduler,
         PNDMScheduler, UniPCMultistepScheduler)
 
     table = {
         "euler": EulerDiscreteScheduler, "euler-ancestral": EulerAncestralDiscreteScheduler,
         "pndm": PNDMScheduler, "heun": HeunDiscreteScheduler,
         "dpm-multi": DPMSolverMultistepScheduler, "unipc-multi": UniPCMultistepScheduler,
+        "dpm-single": DPMSolverSinglestepScheduler,
         "ddim": DDIMScheduler, "ddpm": DDPMScheduler,
         "deis-multi": DEISMultistepScheduler, "lcm": LCMScheduler,
+        "lms": LMSDiscreteScheduler, "kdpm2": KDPM2DiscreteScheduler,
+        "kdpm2-ancestral": KDPM2AncestralDiscreteScheduler,
     }
     kwargs = dict(beta_schedule="scaled_linear", beta_start=0.00085,
                   beta_end=0.012, timestep_spacing="leading")

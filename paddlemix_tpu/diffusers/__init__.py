@@ -18,6 +18,12 @@ from .models import (
     UNet2DConditionModel,
     UNetMotionConfig,
     UNetMotionModel,
+    UNetSpatioTemporalConditionConfig,
+    UNetSpatioTemporalConditionModel,
+    AutoencoderKLTemporalDecoder,
+    AutoencoderKLTemporalDecoderConfig,
+    T2IAdapter,
+    T2IAdapterConfig,
 )
 from .pipelines import (
     AudioLDMPipeline,
@@ -30,6 +36,20 @@ from .pipelines import (
     StableDiffusionPipeline,
     StableDiffusionXLPipeline,
     TextToVideoPipeline,
+    AnimateDiffPipeline,
+    StableVideoDiffusionPipeline,
+    UnCLIPPipeline,
+    StableDiffusionAdapterPipeline,
+    PaintByExamplePipeline,
+    RePaintPipeline,
+    ConsistencyModelPipeline,
+    DDPMPipeline,
+    DDIMPipeline,
+    SemanticStableDiffusionPipeline,
+    StableDiffusionPipelineSafe,
+    AltDiffusionPipeline,
+    BlipDiffusionPipeline,
+    LatentConsistencyModelPipeline,
 )
 from .schedulers import (
     DDIMScheduler,
