@@ -56,3 +56,11 @@ from .alt_diffusion import AltDiffusionImg2ImgPipeline, AltDiffusionPipeline
 from .audio_diffusion import AudioDiffusionPipeline, Mel
 from .blip_diffusion import BlipDiffusionPipeline, ContextCLIPTextModel
 from .text_to_video import AnimateDiffPipeline, HotshotXLPipeline
+from .latent_family import (
+    KarrasVePipeline,
+    LatentConsistencyModelPipeline,
+    LDMPipeline,
+    LDMTextToImagePipeline,
+    PNDMPipeline,
+    ScoreSdeVePipeline,
+)

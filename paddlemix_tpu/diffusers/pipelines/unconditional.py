@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .pipeline_utils import DiffusionPipeline, register_pipeline
+from .pipeline_utils import DiffusionPipeline, make_scheduler_state, register_pipeline
 from .stable_diffusion import _JitCache
 
 
@@ -45,7 +45,8 @@ class DDPMPipeline(DiffusionPipeline):
         key = jax.random.PRNGKey(seed)
         key, sub = jax.random.split(key)
         sample = jax.random.normal(sub, shape, jnp.float32)
-        state = self.scheduler.set_timesteps(num_inference_steps)
+        state = make_scheduler_state(self.scheduler, num_inference_steps,
+                                     sample_shape=shape)
         unet, scheduler = self.unet, self.scheduler
         ctx = _dummy_context(unet, batch_size)
 
@@ -222,7 +223,8 @@ class LDMSuperResolutionPipeline(DiffusionPipeline):
         key = jax.random.PRNGKey(seed)
         key, sub = jax.random.split(key)
         latents = jax.random.normal(sub, shape, jnp.float32)
-        state = self.scheduler.set_timesteps(num_inference_steps)
+        state = make_scheduler_state(self.scheduler, num_inference_steps,
+                                     sample_shape=shape)
         latents = latents * self.scheduler.init_noise_sigma
         unet, scheduler = self.unet, self.scheduler
         ctx = _dummy_context(unet, b)

@@ -366,9 +366,10 @@ class KarrasVeScheduler(Scheduler):
     def set_timesteps(self, num_inference_steps: int) -> KarrasVeState:
         cfg = self.config
         ts = np.arange(num_inference_steps)[::-1].copy()
-        sigmas = cfg.sigma_max ** 2 * (cfg.sigma_min ** 2 / cfg.sigma_max ** 2) ** (
-            ts[::-1] / (num_inference_steps - 1))
-        sigmas = np.sqrt(sigmas)[::-1]
+        # descending noise levels: sigma_max at step 0 -> sigma_min, then 0
+        expo = np.arange(num_inference_steps) / max(num_inference_steps - 1, 1)
+        sigmas = np.sqrt(cfg.sigma_max ** 2 *
+                         (cfg.sigma_min ** 2 / cfg.sigma_max ** 2) ** expo)
         sigmas = np.concatenate([sigmas, [0.0]])
         return KarrasVeState(jnp.asarray(ts, jnp.int32),
                              jnp.asarray(sigmas, jnp.float32), num_inference_steps)
@@ -381,7 +382,10 @@ class KarrasVeScheduler(Scheduler):
                                       2 ** 0.5 - 1), 0.0)
         sigma_hat = sigma * (1.0 + gamma)
         eps = cfg.s_noise * jax.random.normal(key, sample.shape, jnp.float32)
-        sample_hat = sample + jnp.sqrt(sigma_hat ** 2 - sigma ** 2) * eps.astype(sample.dtype)
+        # clamp: XLA's fused rewrite of sigma_hat^2 - sigma^2 can round a
+        # gamma=0 step to a tiny negative -> sqrt(NaN) inside fori_loop
+        extra_var = jnp.maximum(sigma_hat ** 2 - sigma ** 2, 0.0)
+        sample_hat = sample + jnp.sqrt(extra_var) * eps.astype(sample.dtype)
         return sample_hat, sigma_hat
 
     def step(self, state: KarrasVeState, model_output, i, sample_hat,

@@ -361,3 +361,71 @@ def test_hotshot_xl_pipeline():
     frames, = pipe("a gif of a cat", num_frames=2, height=32, width=32,
                    num_inference_steps=2)
     assert frames.shape[:2] == (1, 2) and np.isfinite(frames).all()
+
+
+def test_latent_family_pipelines():
+    from paddlemix_tpu.diffusers.pipelines import (
+        KarrasVePipeline,
+        LatentConsistencyModelPipeline,
+        LDMPipeline,
+        LDMTextToImagePipeline,
+        PNDMPipeline,
+        ScoreSdeVePipeline,
+    )
+    from paddlemix_tpu.diffusers.schedulers import (
+        KarrasVeScheduler,
+        LCMScheduler,
+        PNDMScheduler,
+        ScoreSdeVeScheduler,
+    )
+    from paddlemix_tpu.models.bert import BertConfig, BertModel
+
+    uncond = _unet(UNCOND_UNET)
+
+    out, = PNDMPipeline(unet=uncond, scheduler=PNDMScheduler(
+        num_train_timesteps=100))(batch_size=1, num_inference_steps=4)
+    assert np.isfinite(out).all()
+
+    out, = ScoreSdeVePipeline(unet=uncond, scheduler=ScoreSdeVeScheduler(
+        sigma_max=10.0))(batch_size=1, num_inference_steps=3)
+    assert np.isfinite(out).all()
+
+    out, = KarrasVePipeline(unet=uncond, scheduler=KarrasVeScheduler(
+        sigma_max=10.0, s_churn=2.0, s_max=5.0))(
+        batch_size=1, num_inference_steps=3)
+    assert np.isfinite(out).all()
+
+    vq = VQModel.from_config(VQModelConfig(block_out_channels=(16,),
+                                           layers_per_block=1,
+                                           norm_num_groups=8,
+                                           latent_channels=3))
+    out, = LDMPipeline(vqvae=vq, unet=uncond,
+                       scheduler=DDIMScheduler(num_train_timesteps=100))(
+        batch_size=1, num_inference_steps=2)
+    assert np.isfinite(out).all()
+
+    bert = BertModel.from_config(BertConfig(
+        vocab_size=320, hidden_size=24, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=48,
+        max_position_embeddings=32), seed=0)
+
+    class _BertTok:
+        def __call__(self, texts):
+            return {"input_ids": np.full((len(texts), 8), 5, np.int64)}
+
+    cond_unet = _unet(dict(COND_UNET, in_channels=3, out_channels=3))
+    out, = LDMTextToImagePipeline(
+        vqvae=vq, bert=bert, tokenizer=_BertTok(), unet=cond_unet,
+        scheduler=DDIMScheduler(num_train_timesteps=100))(
+        "a painting", height=32, width=32, num_inference_steps=2,
+        guidance_scale=2.0)
+    assert np.isfinite(out).all()
+
+    vae = AutoencoderKL.from_config(AutoencoderKLConfig.from_dict(TINY_VAE))
+    tok = _tiny_tokenizer()
+    out, = LatentConsistencyModelPipeline(
+        vae=vae, text_encoder=_tiny_text_encoder(tok), tokenizer=tok,
+        unet=_unet(COND_UNET), scheduler=LCMScheduler(
+            num_train_timesteps=100))(
+        "a cat", height=32, width=32, num_inference_steps=2)
+    assert np.isfinite(out).all()
