@@ -44,6 +44,10 @@ class UNet2DConditionConfig(BaseConfig):
     flip_sin_to_cos: bool = True
     freq_shift: int = 0
     addition_embed_type: Optional[str] = None  # "text_time" (SDXL) | "image" (Kandinsky)
+    # class conditioning: learned table (DiT-style) or "timestep" (the SD x4
+    # upscaler feeds the noise level through a second timestep embedding)
+    num_class_embeds: Optional[int] = None
+    class_embed_type: Optional[str] = None
     addition_time_embed_dim: Optional[int] = None
     projection_class_embeddings_input_dim: Optional[int] = None
     encoder_hid_dim_type: Optional[str] = None  # "image_proj" for Kandinsky
@@ -243,6 +247,17 @@ class UNet2DConditionModule(nn.Module):
         emb = TimestepEmbedding(time_embed_dim, dtype=self.dtype,
                                 name="time_embedding")(t_emb.astype(self.dtype))
 
+        if class_labels is not None and cfg.class_embed_type == "timestep":
+            c_emb = Timesteps(cfg.block_out_channels[0], cfg.flip_sin_to_cos,
+                              cfg.freq_shift)(class_labels)
+            emb = emb + TimestepEmbedding(time_embed_dim, dtype=self.dtype,
+                                          name="class_embedding")(
+                c_emb.astype(self.dtype))
+        elif class_labels is not None and cfg.num_class_embeds:
+            emb = emb + nn.Embed(cfg.num_class_embeds, time_embed_dim,
+                                 dtype=self.dtype,
+                                 name="class_embedding")(class_labels)
+
         # SDXL micro-conditioning (text_embeds + time_ids)
         if cfg.addition_embed_type == "text_time":
             text_embeds = added_cond_kwargs["text_embeds"]
@@ -366,5 +381,7 @@ class UNet2DConditionModel(PretrainedModel):
             kwargs["added_cond_kwargs"] = {
                 "image_embeds": jnp.zeros((1, config.encoder_hid_dim or 1280)),
             }
+        if config.num_class_embeds or config.class_embed_type == "timestep":
+            kwargs["class_labels"] = jnp.zeros((1,), jnp.int32)
         return (jnp.zeros((1, s, s, config.in_channels)), jnp.asarray(0),
                 jnp.zeros((1, 8, ctx_dim))), kwargs

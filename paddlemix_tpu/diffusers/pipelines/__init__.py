@@ -64,3 +64,9 @@ from .latent_family import (
     PNDMPipeline,
     ScoreSdeVePipeline,
 )
+from .sd_variants import (
+    CycleDiffusionPipeline,
+    StableDiffusionImageVariationPipeline,
+    StableDiffusionInstructPix2PixPipeline,
+    StableDiffusionUpscalePipeline,
+)

@@ -429,3 +429,54 @@ def test_latent_family_pipelines():
             num_train_timesteps=100))(
         "a cat", height=32, width=32, num_inference_steps=2)
     assert np.isfinite(out).all()
+
+
+def test_sd_variant_pipelines():
+    from paddlemix_tpu.diffusers.pipelines import (
+        CycleDiffusionPipeline,
+        StableDiffusionImageVariationPipeline,
+        StableDiffusionInstructPix2PixPipeline,
+        StableDiffusionUpscalePipeline,
+    )
+    from paddlemix_tpu.diffusers.schedulers import DDPMScheduler
+
+    tok = _tiny_tokenizer()
+    vae = AutoencoderKL.from_config(AutoencoderKLConfig.from_dict(TINY_VAE))
+    text = _tiny_text_encoder(tok)
+
+    # instruct-pix2pix: 8-channel UNet, dual guidance
+    unet8 = _unet(dict(COND_UNET, in_channels=8))
+    pipe = StableDiffusionInstructPix2PixPipeline(
+        vae=vae, text_encoder=text, tokenizer=tok, unet=unet8,
+        scheduler=DDIMScheduler(num_train_timesteps=100))
+    img = np.zeros((32, 32, 3), np.float32)
+    out, = pipe("make it sunny", image=img, num_inference_steps=2,
+                output_type="np")
+    assert np.isfinite(np.asarray(out)).all()
+
+    # image variation
+    pipe = StableDiffusionImageVariationPipeline(
+        vae=vae, image_encoder=_FakeImageEncoder(24), unet=_unet(COND_UNET),
+        scheduler=DDIMScheduler(num_train_timesteps=100))
+    out, = pipe(np.ones((32, 32, 3), np.float32), height=32, width=32,
+                num_inference_steps=2)
+    assert np.isfinite(out).all()
+
+    # x4 upscale: low-res rides the channels, noise level as class cond
+    unet7 = _unet(dict(COND_UNET, in_channels=7, out_channels=4,
+                       num_class_embeds=100))
+    pipe = StableDiffusionUpscalePipeline(
+        vae=vae, text_encoder=text, tokenizer=tok, unet=unet7,
+        scheduler=DDPMScheduler(num_train_timesteps=100, clip_sample=False))
+    out, = pipe("a photo", image=np.zeros((16, 16, 3), np.float32),
+                num_inference_steps=2, noise_level=5)
+    assert np.isfinite(out).all()
+
+    # cycle diffusion: invert + re-denoise
+    pipe = CycleDiffusionPipeline(
+        vae=vae, text_encoder=text, tokenizer=tok, unet=_unet(COND_UNET),
+        scheduler=DDIMScheduler(num_train_timesteps=100))
+    out, = pipe("a cat", source_prompt="a dog",
+                image=np.zeros((32, 32, 3), np.float32),
+                num_inference_steps=2, output_type="np")
+    assert np.isfinite(np.asarray(out)).all()
