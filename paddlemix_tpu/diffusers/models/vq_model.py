@@ -125,6 +125,15 @@ class VQModelModule(nn.Module):
             z, _ = self.quantize(z)
         return self.decoder(self.post_quant_conv(z))
 
+    def decode_code(self, indices, shape=None):
+        """Token map -> image (VQ-Diffusion path): codebook lookup + decode.
+        indices: (B, N) or (B, H, W) int; shape=(B, H, W) for the flat form."""
+        idx = jnp.clip(indices, 0, self.codebook.shape[0] - 1)
+        z = self.codebook[idx]
+        if shape is not None:
+            z = z.reshape(*shape, z.shape[-1])
+        return self.decoder(self.post_quant_conv(z.astype(self.dtype)))
+
     def __call__(self, x):
         z = self.encode(x)
         zq, idx = self.quantize(z)
@@ -144,3 +153,7 @@ class VQModel(PretrainedModel):
     def decode(self, z, force_quantize: bool = True):
         return self.module.apply({"params": self.params}, z, force_quantize,
                                  method=self.module.decode)
+
+    def decode_code(self, indices, shape=None):
+        return self.module.apply({"params": self.params}, indices, shape,
+                                 method=self.module.decode_code)

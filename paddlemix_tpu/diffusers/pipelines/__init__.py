@@ -70,3 +70,4 @@ from .sd_variants import (
     StableDiffusionInstructPix2PixPipeline,
     StableDiffusionUpscalePipeline,
 )
+from .vq_diffusion import VQDiffusionPipeline, VQDiffusionTransformerModel

@@ -105,3 +105,10 @@ class PreconfigLMSDiscreteScheduler(LMSDiscreteScheduler):
 SCHEDULER_REGISTRY["PreconfigEulerAncestralDiscreteScheduler"] = \
     PreconfigEulerAncestralDiscreteScheduler
 SCHEDULER_REGISTRY["PreconfigLMSDiscreteScheduler"] = PreconfigLMSDiscreteScheduler
+from .scheduling_vq_diffusion import (
+    VQDiffusionConfig,
+    VQDiffusionScheduler,
+    VQDiffusionState,
+)
+
+SCHEDULER_REGISTRY["VQDiffusionScheduler"] = VQDiffusionScheduler
