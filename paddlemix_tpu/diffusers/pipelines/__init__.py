@@ -71,3 +71,9 @@ from .sd_variants import (
     StableDiffusionUpscalePipeline,
 )
 from .vq_diffusion import VQDiffusionPipeline, VQDiffusionTransformerModel
+from .spectrogram_diffusion import (
+    SpectrogramContEncoder,
+    SpectrogramDiffusionPipeline,
+    SpectrogramNotesEncoder,
+    T5FilmDecoder,
+)
