@@ -34,3 +34,9 @@ from .autoencoder_kl_temporal import (
     AutoencoderKLTemporalDecoderConfig,
 )
 from .adapter import T2IAdapter, T2IAdapterConfig
+from .lvdm import (
+    LVDMAutoencoderConfig,
+    LVDMAutoencoderKL,
+    LVDMUNet3DConfig,
+    LVDMUNet3DModel,
+)

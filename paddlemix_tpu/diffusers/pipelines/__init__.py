@@ -77,3 +77,9 @@ from .spectrogram_diffusion import (
     SpectrogramNotesEncoder,
     T5FilmDecoder,
 )
+from .versatile_diffusion import (
+    VersatileDiffusionDualGuidedPipeline,
+    VersatileDiffusionImageVariationPipeline,
+    VersatileDiffusionTextToImagePipeline,
+)
+from .lvdm import LVDMTextToVideoPipeline, LVDMUncondPipeline

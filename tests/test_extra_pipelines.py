@@ -480,3 +480,38 @@ def test_sd_variant_pipelines():
                 image=np.zeros((32, 32, 3), np.float32),
                 num_inference_steps=2, output_type="np")
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_versatile_diffusion_trio():
+    from paddlemix_tpu.diffusers.pipelines import (
+        VersatileDiffusionDualGuidedPipeline,
+        VersatileDiffusionImageVariationPipeline,
+        VersatileDiffusionTextToImagePipeline,
+    )
+
+    tok = _tiny_tokenizer()
+    vae = AutoencoderKL.from_config(AutoencoderKLConfig.from_dict(TINY_VAE))
+    unet = _unet(COND_UNET)
+    text = _tiny_text_encoder(tok)
+    kw = dict(vae=vae, unet=unet,
+              scheduler=DDIMScheduler(num_train_timesteps=100),
+              tokenizer=tok, text_encoder=text,
+              image_encoder=_FakeImageEncoder(24))
+
+    out, = VersatileDiffusionTextToImagePipeline(**kw)(
+        "a cat", height=32, width=32, num_inference_steps=2)
+    assert np.isfinite(out).all()
+
+    img = np.ones((32, 32, 3), np.float32)
+    out, = VersatileDiffusionImageVariationPipeline(**kw)(
+        img, height=32, width=32, num_inference_steps=2)
+    assert np.isfinite(out).all()
+
+    dual = VersatileDiffusionDualGuidedPipeline(**kw)
+    out_a, = dual("a cat", img, text_to_image_strength=1.0, height=32,
+                  width=32, num_inference_steps=2)
+    out_b, = dual("a cat", img, text_to_image_strength=0.0, height=32,
+                  width=32, num_inference_steps=2)
+    assert np.isfinite(out_a).all()
+    # the mixing ratio is live
+    assert np.abs(out_a - out_b).max() > 1e-6
