@@ -83,3 +83,4 @@ from .versatile_diffusion import (
     VersatileDiffusionTextToImagePipeline,
 )
 from .lvdm import LVDMTextToVideoPipeline, LVDMUncondPipeline
+from .text_to_video import VideoToVideoPipeline

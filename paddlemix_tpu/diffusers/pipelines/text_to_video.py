@@ -197,3 +197,74 @@ class HotshotXLPipeline(TextToVideoPipeline):
         frames = self.vae.decode(flat.astype(self.vae.dtype)).astype(jnp.float32)
         frames = np.asarray(jnp.clip(frames / 2 + 0.5, 0, 1))
         return (frames.reshape(bshape[0], num_frames, *frames.shape[1:]),)
+
+
+@register_pipeline
+class VideoToVideoPipeline(TextToVideoPipeline):
+    """Text-guided video-to-video (reference pipelines/video_to_video over the
+    modelscope ST UNet): the input clip's per-frame VAE latents are noised to
+    ``strength`` and re-denoised under the prompt — the img2img recipe lifted
+    to the frame-stacked motion UNet."""
+
+    def __call__(self, prompt, video=None, strength: float = 0.6,
+                 num_inference_steps: int = 50, guidance_scale: float = 9.0,
+                 negative_prompt=None, seed: int = 0, output_type: str = "np"):
+        cond, uncond = self.encode_prompt(prompt, negative_prompt)
+        do_cfg = guidance_scale > 1.0
+        context = jnp.concatenate([uncond, cond]) if do_cfg else cond
+
+        vid = jnp.asarray(np.asarray(video, np.float32))
+        if vid.max() > 1.5:
+            vid = vid / 127.5 - 1.0
+        if vid.ndim == 4:
+            vid = vid[None]  # (B, T, H, W, C)
+        b, t = vid.shape[:2]
+        flat = vid.reshape(b * t, *vid.shape[2:])
+        lat = self.vae.encode(flat.astype(self.vae.dtype)).mode()
+        lat = lat.astype(jnp.float32) * self.vae.config.scaling_factor
+        lat = lat.reshape(b, t, *lat.shape[1:])
+
+        from .pipeline_utils import make_scheduler_state
+
+        state = make_scheduler_state(self.scheduler, num_inference_steps,
+                                     sample_shape=lat.shape)
+        start = int(num_inference_steps * (1.0 - strength))
+        t_start = state.timesteps[start]
+        key = jax.random.PRNGKey(seed)
+        noise = jax.random.normal(key, lat.shape, jnp.float32)
+        latents = self.scheduler.add_noise(lat, noise,
+                                           jnp.broadcast_to(t_start, (b,)))
+        unet, scheduler = self.unet, self.scheduler
+
+        def build():
+            def denoise(params, latents, context, state, gs):
+                def body(i, carry):
+                    latents, state = carry
+                    t = state.timesteps[i]
+                    lat_in = jnp.concatenate([latents, latents]) if do_cfg else latents
+                    lat_in = scheduler.scale_model_input(state, lat_in, i)
+                    t_in = jnp.broadcast_to(t, (lat_in.shape[0],))
+                    pred = unet.module.apply(
+                        {"params": params}, lat_in.astype(unet.dtype), t_in,
+                        context.astype(unet.dtype)).astype(jnp.float32)
+                    if do_cfg:
+                        un, co = jnp.split(pred, 2)
+                        pred = un + gs * (co - un)
+                    latents, state = scheduler.step(state, pred, i, latents)
+                    return latents, state
+
+                out, _ = jax.lax.fori_loop(start, num_inference_steps, body,
+                                           (latents, state))
+                return out
+
+            return jax.jit(denoise)
+
+        latents = self._jit.get(("vid2vid", lat.shape, num_inference_steps,
+                                 start, do_cfg), build)(
+            self.unet.params, latents, context, state,
+            jnp.asarray(guidance_scale, jnp.float32))
+        flat = latents.reshape(b * t, *latents.shape[2:])
+        flat = flat / self.vae.config.scaling_factor
+        frames = self.vae.decode(flat.astype(self.vae.dtype)).astype(jnp.float32)
+        frames = np.asarray(jnp.clip(frames / 2 + 0.5, 0, 1))
+        return (frames.reshape(b, t, *frames.shape[1:]),)

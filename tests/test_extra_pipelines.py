@@ -515,3 +515,25 @@ def test_versatile_diffusion_trio():
     assert np.isfinite(out_a).all()
     # the mixing ratio is live
     assert np.abs(out_a - out_b).max() > 1e-6
+
+
+def test_video_to_video_pipeline():
+    from paddlemix_tpu.diffusers.models import UNetMotionConfig, UNetMotionModel
+    from paddlemix_tpu.diffusers.pipelines import VideoToVideoPipeline
+
+    tok = _tiny_tokenizer()
+    unet = UNetMotionModel.from_config(UNetMotionConfig.from_dict(dict(
+        sample_size=8, block_out_channels=(16, 32),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1, cross_attention_dim=24, attention_head_dim=2,
+        norm_num_groups=8, num_frames=2, motion_num_heads=2)))
+    vae = AutoencoderKL.from_config(AutoencoderKLConfig.from_dict(TINY_VAE))
+    pipe = VideoToVideoPipeline(
+        vae=vae, text_encoder=_tiny_text_encoder(tok), tokenizer=tok,
+        unet=unet, scheduler=DDIMScheduler(num_train_timesteps=100))
+    video = np.zeros((2, 32, 32, 3), np.float32)
+    out, = pipe("make it anime", video=video, strength=0.5,
+                num_inference_steps=4)
+    assert out.shape == (1, 2, 32, 32, 3)
+    assert np.isfinite(out).all()
