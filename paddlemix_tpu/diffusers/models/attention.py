@@ -110,6 +110,31 @@ class GEGLUFeedForward(nn.Module):
         return nn.Dense(d, dtype=self.dtype, dot_general=_qdg(quant), name="net_2")(h)
 
 
+class GatedSelfAttention(nn.Module):
+    """GLIGEN fuser (reference models/attention.py GatedSelfAttentionDense):
+    self-attention over [visual tokens, grounding tokens], added back to the
+    visual stream through learnable tanh gates (zero at init)."""
+
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, objs):
+        n_visual = x.shape[1]
+        objs = nn.Dense(x.shape[-1], dtype=self.dtype, name="linear")(objs)
+        alpha = self.param("alpha_attn", nn.initializers.zeros, ())
+        beta = self.param("alpha_dense", nn.initializers.zeros, ())
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(
+            jnp.concatenate([x, objs.astype(x.dtype)], axis=1))
+        attn = CrossAttention(self.num_heads, self.head_dim, dtype=self.dtype,
+                              name="attn")(h)[:, :n_visual]
+        x = x + jnp.tanh(alpha).astype(x.dtype) * attn
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + jnp.tanh(beta).astype(x.dtype) *             GEGLUFeedForward(dtype=self.dtype, name="ff")(h)
+        return x
+
+
 class BasicTransformerBlock(nn.Module):
     num_heads: int
     head_dim: int
@@ -120,10 +145,11 @@ class BasicTransformerBlock(nn.Module):
     ip_tokens: int = 0
     ip_scale: float = 1.0
     quant: str = None
+    attention_type: str = "default"  # "gated" = GLIGEN fuser after attn1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, context=None):
+    def __call__(self, hidden, context=None, gligen_objs=None):
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(hidden)
         if self.tome_ratio > 0.0 and not self.only_cross_attention and self.tome_grid:
             from ...ops.tome import build_tome
@@ -138,6 +164,10 @@ class BasicTransformerBlock(nn.Module):
                 self.num_heads, self.head_dim, dtype=self.dtype, quant=self.quant,
                 name="attn1"
             )(h, context if self.only_cross_attention else None)
+        if self.attention_type == "gated" and gligen_objs is not None:
+            hidden = GatedSelfAttention(self.num_heads, self.head_dim,
+                                        dtype=self.dtype,
+                                        name="fuser")(hidden, gligen_objs)
         if self.use_cross_attention:
             h = nn.LayerNorm(dtype=self.dtype, name="norm2")(hidden)
             hidden = hidden + CrossAttention(
@@ -163,10 +193,11 @@ class Transformer2DModel(nn.Module):
     ip_tokens: int = 0
     ip_scale: float = 1.0
     quant: str = None
+    attention_type: str = "default"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, gligen_objs=None):
         b, h, w, c = x.shape
         residual = x
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
@@ -182,8 +213,11 @@ class Transformer2DModel(nn.Module):
             x = BasicTransformerBlock(self.num_heads, self.head_dim,
                                       tome_ratio=self.tome_ratio, tome_grid=(h, w),
                                       ip_tokens=self.ip_tokens, ip_scale=self.ip_scale,
-                                      quant=self.quant, dtype=self.dtype,
-                                      name=f"transformer_blocks_{i}")(x, context)
+                                      quant=self.quant,
+                                      attention_type=self.attention_type,
+                                      dtype=self.dtype,
+                                      name=f"transformer_blocks_{i}")(
+                x, context, gligen_objs=gligen_objs)
         if self.use_linear_projection:
             x = nn.Dense(c, dtype=self.dtype, dot_general=_qdg(self.quant),
                          name="proj_out")(x)

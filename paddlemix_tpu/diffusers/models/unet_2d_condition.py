@@ -62,6 +62,7 @@ class UNet2DConditionConfig(BaseConfig):
     # INFERENCE_OPTIMIZE simplified_sd3.py and tomesd_patch_utils.py)
     quant: Optional[str] = None
     tome_ratio: float = 0.0
+    attention_type: str = "default"  # "gated" = GLIGEN grounded generation
 
     def _per_block(self, v):
         n = len(self.block_out_channels)
@@ -91,10 +92,11 @@ class CrossAttnDownBlock2D(nn.Module):
     ip_scale: float = 1.0
     quant: Optional[str] = None
     tome_ratio: float = 0.0
+    attention_type: str = "default"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, context, extra_residual=None):
+    def __call__(self, x, temb, context, extra_residual=None, gligen_objs=None):
         outputs = []
         head_dim = self.out_channels // self.num_heads
         for i in range(self.num_layers):
@@ -104,8 +106,11 @@ class CrossAttnDownBlock2D(nn.Module):
                                    use_linear_projection=self.use_linear_projection,
                                    groups=self.groups, ip_tokens=self.ip_tokens,
                                    ip_scale=self.ip_scale, quant=self.quant,
-                                   tome_ratio=self.tome_ratio, dtype=self.dtype,
-                                   name=f"attentions_{i}")(x, context)
+                                   tome_ratio=self.tome_ratio,
+                                   attention_type=self.attention_type,
+                                   dtype=self.dtype,
+                                   name=f"attentions_{i}")(x, context,
+                                                           gligen_objs=gligen_objs)
             if extra_residual is not None and i == self.num_layers - 1:
                 # T2I-Adapter intrablock residual (reference unet_2d_condition
                 # down_intrablock_additional_residuals: after the last
@@ -153,10 +158,11 @@ class UNetMidBlock2DCrossAttn(nn.Module):
     ip_scale: float = 1.0
     quant: Optional[str] = None
     tome_ratio: float = 0.0
+    attention_type: str = "default"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, context):
+    def __call__(self, x, temb, context, gligen_objs=None):
         head_dim = self.channels // self.num_heads
         x = ResnetBlock2D(self.channels, groups=self.groups, quant=self.quant,
                           dtype=self.dtype, name="resnets_0")(x, temb)
@@ -164,8 +170,11 @@ class UNetMidBlock2DCrossAttn(nn.Module):
                                use_linear_projection=self.use_linear_projection,
                                groups=self.groups, ip_tokens=self.ip_tokens,
                                ip_scale=self.ip_scale, quant=self.quant,
-                               tome_ratio=self.tome_ratio, dtype=self.dtype,
-                               name="attentions_0")(x, context)
+                               tome_ratio=self.tome_ratio,
+                               attention_type=self.attention_type,
+                               dtype=self.dtype,
+                               name="attentions_0")(x, context,
+                                                    gligen_objs=gligen_objs)
         x = ResnetBlock2D(self.channels, groups=self.groups, quant=self.quant,
                           dtype=self.dtype, name="resnets_1")(x, temb)
         return x
@@ -183,10 +192,11 @@ class CrossAttnUpBlock2D(nn.Module):
     ip_scale: float = 1.0
     quant: Optional[str] = None
     tome_ratio: float = 0.0
+    attention_type: str = "default"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, skips, temb, context):
+    def __call__(self, x, skips, temb, context, gligen_objs=None):
         head_dim = self.out_channels // self.num_heads
         for i in range(self.num_layers):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
@@ -196,8 +206,11 @@ class CrossAttnUpBlock2D(nn.Module):
                                    use_linear_projection=self.use_linear_projection,
                                    groups=self.groups, ip_tokens=self.ip_tokens,
                                    ip_scale=self.ip_scale, quant=self.quant,
-                                   tome_ratio=self.tome_ratio, dtype=self.dtype,
-                                   name=f"attentions_{i}")(x, context)
+                                   tome_ratio=self.tome_ratio,
+                                   attention_type=self.attention_type,
+                                   dtype=self.dtype,
+                                   name=f"attentions_{i}")(x, context,
+                                                           gligen_objs=gligen_objs)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, quant=self.quant, dtype=self.dtype,
                            name="upsamplers_0")(x)
@@ -233,7 +246,8 @@ class UNet2DConditionModule(nn.Module):
                  added_cond_kwargs=None, class_labels=None,
                  down_block_additional_residuals=None,
                  mid_block_additional_residual=None,
-                 down_intrablock_additional_residuals=None):
+                 down_intrablock_additional_residuals=None,
+                 gligen_objs=None):
         cfg = self.config
         groups = cfg.norm_num_groups
         if cfg.center_input_sample:
@@ -300,8 +314,10 @@ class UNet2DConditionModule(nn.Module):
                     cfg.use_linear_projection, add_downsample=not last, groups=groups,
                     ip_tokens=cfg.ip_adapter_tokens, ip_scale=cfg.ip_adapter_scale,
                     quant=cfg.quant, tome_ratio=cfg.tome_ratio,
+                    attention_type=cfg.attention_type,
                     dtype=self.dtype, name=f"down_blocks_{i}")(
-                    sample, emb, encoder_hidden_states, extra_residual=extra)
+                    sample, emb, encoder_hidden_states, extra_residual=extra,
+                    gligen_objs=gligen_objs)
             else:
                 sample, outs = DownBlock2D(ch, cfg.layers_per_block, add_downsample=not last,
                                            groups=groups, quant=cfg.quant, dtype=self.dtype,
@@ -316,8 +332,10 @@ class UNet2DConditionModule(nn.Module):
             cfg.block_out_channels[-1], heads[-1], tf_layers[-1],
             cfg.use_linear_projection, groups=groups,
             ip_tokens=cfg.ip_adapter_tokens, ip_scale=cfg.ip_adapter_scale,
-            quant=cfg.quant, tome_ratio=cfg.tome_ratio, dtype=self.dtype,
-            name="mid_block")(sample, emb, encoder_hidden_states)
+            quant=cfg.quant, tome_ratio=cfg.tome_ratio,
+            attention_type=cfg.attention_type, dtype=self.dtype,
+            name="mid_block")(sample, emb, encoder_hidden_states,
+                              gligen_objs=gligen_objs)
         if mid_block_additional_residual is not None:
             sample = sample + mid_block_additional_residual
 
@@ -334,8 +352,11 @@ class UNet2DConditionModule(nn.Module):
                     ch, n_layers, heads[j], tf_layers[j], cfg.use_linear_projection,
                     add_upsample=not last, groups=groups,
                     ip_tokens=cfg.ip_adapter_tokens, ip_scale=cfg.ip_adapter_scale,
-                    quant=cfg.quant, tome_ratio=cfg.tome_ratio, dtype=self.dtype,
-                    name=f"up_blocks_{i}")(sample, block_skips, emb, encoder_hidden_states)
+                    quant=cfg.quant, tome_ratio=cfg.tome_ratio,
+                    attention_type=cfg.attention_type, dtype=self.dtype,
+                    name=f"up_blocks_{i}")(sample, block_skips, emb,
+                                           encoder_hidden_states,
+                                           gligen_objs=gligen_objs)
             else:
                 sample = UpBlock2D(ch, n_layers, add_upsample=not last, groups=groups,
                                    quant=cfg.quant, dtype=self.dtype,
@@ -383,5 +404,7 @@ class UNet2DConditionModel(PretrainedModel):
             }
         if config.num_class_embeds or config.class_embed_type == "timestep":
             kwargs["class_labels"] = jnp.zeros((1,), jnp.int32)
+        if config.attention_type == "gated":
+            kwargs["gligen_objs"] = jnp.zeros((1, 4, ctx_dim))
         return (jnp.zeros((1, s, s, config.in_channels)), jnp.asarray(0),
                 jnp.zeros((1, 8, ctx_dim))), kwargs

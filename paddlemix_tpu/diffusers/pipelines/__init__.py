@@ -66,6 +66,8 @@ from .latent_family import (
 )
 from .sd_variants import (
     CycleDiffusionPipeline,
+    StableDiffusionDiffEditPipeline,
+    StableDiffusionGLIGENPipeline,
     StableDiffusionImageVariationPipeline,
     StableDiffusionInstructPix2PixPipeline,
     StableDiffusionUpscalePipeline,

@@ -537,3 +537,56 @@ def test_video_to_video_pipeline():
                 num_inference_steps=4)
     assert out.shape == (1, 2, 32, 32, 3)
     assert np.isfinite(out).all()
+
+
+def test_diffedit_pipeline():
+    from paddlemix_tpu.diffusers.pipelines import StableDiffusionDiffEditPipeline
+
+    tok = _tiny_tokenizer()
+    vae = AutoencoderKL.from_config(AutoencoderKLConfig.from_dict(TINY_VAE))
+    pipe = StableDiffusionDiffEditPipeline(
+        vae=vae, text_encoder=_tiny_text_encoder(tok), tokenizer=tok,
+        unet=_unet(COND_UNET), scheduler=DDIMScheduler(
+            num_train_timesteps=100, clip_sample=False))
+    img = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32)
+    mask = pipe.generate_mask(img, "a dog", "a cat", num_maps=2)
+    assert mask.shape == (1, 16, 16)
+    assert set(np.unique(np.asarray(mask))).issubset({0.0, 1.0})
+    traj = pipe.invert(img, "a dog", num_inference_steps=3)
+    assert traj.shape == (4, 1, 16, 16, 4)
+    out, = pipe("a cat", mask_image=mask, image_latents=traj,
+                num_inference_steps=3, output_type="np")
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gligen_pipeline():
+    from paddlemix_tpu.diffusers.pipelines import StableDiffusionGLIGENPipeline
+
+    from flax import traverse_util
+
+    tok = _tiny_tokenizer()
+    vae = AutoencoderKL.from_config(AutoencoderKLConfig.from_dict(TINY_VAE))
+    unet = _unet(dict(COND_UNET, attention_type="gated"))
+    flat = traverse_util.flatten_dict(unet.params)
+    fuser_keys = [k for k in flat if "fuser" in ".".join(k)]
+    assert fuser_keys, "gated attention created no fuser params"
+    # GLIGEN inits the gates at 0 (grounding off); open them so the test can
+    # observe the box conditioning
+    for k in fuser_keys:
+        if k[-1] in ("alpha_attn", "alpha_dense"):
+            flat[k] = jnp.asarray(1.0)
+    unet.params = traverse_util.unflatten_dict(flat)
+    pipe = StableDiffusionGLIGENPipeline(
+        vae=vae, text_encoder=_tiny_text_encoder(tok), tokenizer=tok,
+        unet=unet, scheduler=DDIMScheduler(num_train_timesteps=100))
+    out, = pipe("a cat and a dog", gligen_phrases=["a cat", "a dog"],
+                gligen_boxes=[[0.1, 0.1, 0.4, 0.4], [0.6, 0.6, 0.9, 0.9]],
+                height=32, width=32, num_inference_steps=3,
+                gligen_scheduled_sampling_beta=0.7, output_type="np")
+    assert np.isfinite(np.asarray(out)).all()
+    # grounding is live: different boxes change the output
+    out2, = pipe("a cat and a dog", gligen_phrases=["a cat", "a dog"],
+                 gligen_boxes=[[0.5, 0.5, 0.7, 0.7], [0.0, 0.0, 0.2, 0.2]],
+                 height=32, width=32, num_inference_steps=3,
+                 gligen_scheduled_sampling_beta=0.7, output_type="np")
+    assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 0
