@@ -261,3 +261,85 @@ class AutomaticLabelTask(AppTask):
         return {"result": {"caption": caption, **det_out["result"]}
                 if isinstance(det_out.get("result"), dict)
                 else {"caption": caption, "detection": det_out.get("result")}}
+
+
+@register_task("image_variation")
+class ImageVariationTask(AppTask):
+    """Reference appflow image variation (VersatileDiffusion / SD-imvar)."""
+
+    def _construct(self):
+        self.pipe = self.model
+
+    def _run_model(self, inputs):
+        out = self.pipe(inputs.pop("image"),
+                        **{k: v for k, v in inputs.items()
+                           if k in ("height", "width", "num_inference_steps",
+                                    "guidance_scale", "seed")})[0]
+        return {"result": out}
+
+
+@register_task("instruct_edit")
+class InstructEditTask(AppTask):
+    """Instruction-based editing (InstructPix2Pix backend)."""
+
+    def _construct(self):
+        self.pipe = self.model
+
+    def _run_model(self, inputs):
+        out = self.pipe(inputs.pop("prompt"), image=inputs.pop("image"),
+                        **{k: v for k, v in inputs.items()
+                           if k in ("num_inference_steps", "guidance_scale",
+                                    "image_guidance_scale", "seed")})[0]
+        return {"result": out}
+
+
+@register_task("image_super_resolution")
+class SuperResolutionTask(AppTask):
+    """x4 upscaling (StableDiffusionUpscale / LDM-SR backends)."""
+
+    def _construct(self):
+        self.pipe = self.model
+
+    def _run_model(self, inputs):
+        args = [inputs.pop("prompt")] if "prompt" in inputs else []
+        out = self.pipe(*args, image=inputs.pop("image"),
+                        **{k: v for k, v in inputs.items()
+                           if k in ("num_inference_steps", "guidance_scale",
+                                    "noise_level", "seed")})[0]
+        return {"result": out}
+
+
+@register_task("video2video_generation")
+class Video2VideoTask(AppTask):
+    """Text-guided clip editing (VideoToVideoPipeline backend)."""
+
+    def _construct(self):
+        self.pipe = self.model
+
+    def _run_model(self, inputs):
+        out = self.pipe(inputs.pop("prompt"), video=inputs.pop("video"),
+                        **{k: v for k, v in inputs.items()
+                           if k in ("strength", "num_inference_steps",
+                                    "guidance_scale", "seed")})[0]
+        return {"result": out}
+
+
+@register_task("audio_generation")
+class AudioGenerationTask(AppTask):
+    """Unconditional audio (AudioDiffusion backend) or text-to-audio
+    (AudioLDM) depending on the bound pipeline."""
+
+    def _construct(self):
+        self.pipe = self.model
+
+    def _run_model(self, inputs):
+        if "prompt" in inputs:
+            out = self.pipe(inputs.pop("prompt"),
+                            **{k: v for k, v in inputs.items()
+                               if k in ("num_inference_steps", "seed")})
+        else:
+            out = self.pipe(**{k: v for k, v in inputs.items()
+                               if k in ("num_inference_steps", "seed",
+                                        "batch_size")})
+        return {"result": out[-1] if isinstance(out, tuple) and len(out) > 1
+                else out[0]}

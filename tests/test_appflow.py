@@ -160,3 +160,40 @@ def test_appflow_inpainting_runs():
     out = app(prompt="a cat", image=img, mask=mask, num_inference_steps=2,
               seed=0)
     assert "result" in out
+
+
+def test_round2_tasks_registered():
+    from paddlemix_tpu.appflow.appflow import APPLICATIONS
+
+    for app in ("image_variation", "instruct_edit", "image_super_resolution",
+                "video2video_generation", "audio_generation"):
+        assert app in APPLICATIONS, app
+
+
+def test_instruct_edit_app():
+    import numpy as np
+
+    from paddlemix_tpu.appflow import Appflow
+    from paddlemix_tpu.diffusers.pipelines import (
+        StableDiffusionInstructPix2PixPipeline,
+    )
+    from paddlemix_tpu.diffusers.schedulers import DDIMScheduler
+    from test_extra_pipelines import (
+        COND_UNET,
+        TINY_VAE,
+        _tiny_text_encoder,
+        _tiny_tokenizer,
+        _unet,
+    )
+    from paddlemix_tpu.diffusers.models import AutoencoderKL, AutoencoderKLConfig
+
+    tok = _tiny_tokenizer()
+    pipe = StableDiffusionInstructPix2PixPipeline(
+        vae=AutoencoderKL.from_config(AutoencoderKLConfig.from_dict(TINY_VAE)),
+        text_encoder=_tiny_text_encoder(tok), tokenizer=tok,
+        unet=_unet(dict(COND_UNET, in_channels=8)),
+        scheduler=DDIMScheduler(num_train_timesteps=100))
+    app = Appflow(app="instruct_edit", models=[pipe])
+    out = app(prompt="make it snow", image=np.zeros((32, 32, 3), np.float32),
+              num_inference_steps=2)
+    assert np.isfinite(np.asarray(out["result"])).all()
