@@ -86,3 +86,5 @@ from .versatile_diffusion import (
 )
 from .lvdm import LVDMTextToVideoPipeline, LVDMUncondPipeline
 from .text_to_video import VideoToVideoPipeline
+from .kandinsky import KandinskyPipeline
+from .stable_diffusion import StableDiffusionKDiffusionPipeline

@@ -139,3 +139,84 @@ class KandinskyV22Pipeline(DiffusionPipeline):
             return (latents,)
         image = self.movq.decode(latents.astype(self.movq.dtype)).astype(jnp.float32)
         return (self.image_processor.postprocess(np.asarray(image), output_type),)
+
+
+@register_pipeline
+class KandinskyPipeline(DiffusionPipeline):
+    """Kandinsky 2.1 text-to-image (reference pipelines/kandinsky): unlike
+    2.2's pure image-embed conditioning, the 2.1 UNet cross-attends a HYBRID
+    context — the multilingual (M-CLIP/XLM-R-style) text hidden states with
+    the prior's image embedding projected in — and decodes through MoVQ."""
+
+    def __init__(self, text_encoder, tokenizer, unet, scheduler, movq):
+        self.register_modules(text_encoder=text_encoder, tokenizer=tokenizer,
+                              unet=unet, scheduler=scheduler, movq=movq)
+        self.movq_scale_factor = 2 ** (len(movq.config.block_out_channels) - 1) if movq else 8
+        self._jit = _JitCache()
+
+    def __call__(self, prompt, image_embeds, negative_image_embeds=None,
+                 height: int = 512, width: int = 512,
+                 num_inference_steps: int = 50, guidance_scale: float = 4.0,
+                 seed: int = 0, output_type: str = "np"):
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        do_cfg = guidance_scale > 1.0
+        cond = self.text_encoder(jnp.asarray(
+            self.tokenizer(prompt)["input_ids"]))[0]
+        uncond = self.text_encoder(jnp.asarray(
+            self.tokenizer([""] * len(prompt))["input_ids"]))[0]
+        if negative_image_embeds is None:
+            negative_image_embeds = jnp.zeros_like(image_embeds)
+        # hybrid context: image embedding projected to a token prepended to
+        # the text hidden states (2.1 text_proj behaviour, compact form)
+        d = cond.shape[-1]
+
+        def hybrid(text, img):
+            img_tok = img[:, : d] if img.shape[-1] >= d else jnp.pad(
+                img, ((0, 0), (0, d - img.shape[-1])))
+            return jnp.concatenate([img_tok[:, None, :], text], axis=1)
+
+        context = hybrid(cond, image_embeds)
+        if do_cfg:
+            context = jnp.concatenate(
+                [hybrid(uncond, negative_image_embeds), context])
+
+        batch = cond.shape[0]
+        shape = (batch, height // self.movq_scale_factor,
+                 width // self.movq_scale_factor, self.unet.config.in_channels)
+        latents = jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32)
+        state = self.scheduler.set_timesteps(num_inference_steps)
+        latents = latents * self.scheduler.init_noise_sigma
+        unet, scheduler = self.unet, self.scheduler
+
+        def build():
+            def denoise(params, latents, context, state, gs):
+                def body(i, carry):
+                    latents, state = carry
+                    t = state.timesteps[i]
+                    lat_in = jnp.concatenate([latents, latents]) if do_cfg else latents
+                    lat_in = scheduler.scale_model_input(state, lat_in, i)
+                    t_in = jnp.broadcast_to(t, (lat_in.shape[0],))
+                    pred = unet.module.apply(
+                        {"params": params}, lat_in.astype(unet.dtype), t_in,
+                        context.astype(unet.dtype)).astype(jnp.float32)
+                    pred = pred[..., : latents.shape[-1]]  # learned variance
+                    if do_cfg:
+                        un, co = jnp.split(pred, 2)
+                        pred = un + gs * (co - un)
+                    latents, state = scheduler.step(state, pred, i, latents)
+                    return latents, state
+
+                out, _ = jax.lax.fori_loop(0, num_inference_steps, body,
+                                           (latents, state))
+                return out
+
+            return jax.jit(denoise)
+
+        latents = self._jit.get(("k21", shape, num_inference_steps, do_cfg),
+                                build)(
+            self.unet.params, latents, context, state,
+            jnp.asarray(guidance_scale, jnp.float32))
+        img = self.movq.decode(latents.astype(self.movq.dtype),
+                               force_quantize=False).astype(jnp.float32)
+        return (np.asarray(jnp.clip(img / 2 + 0.5, 0, 1)),)

@@ -289,3 +289,13 @@ class StableDiffusionXLPipeline(DiffusionPipeline):
             return (latents,)
         image = self._decode_latents(latents)
         return (self.image_processor.postprocess(image, output_type),)
+
+
+@register_pipeline
+class StableDiffusionKDiffusionPipeline(StableDiffusionPipeline):
+    """k-diffusion sampler compatibility entry (reference
+    pipeline_stable_diffusion_k_diffusion.py wraps the k-diffusion library's
+    samplers): here the k-samplers ARE the native scheduler zoo — construct
+    with any karras-sigma scheduler (Euler/Heun/LMS/KDPM2/DPM-SDE with
+    use_karras_sigmas=True); the loops are identical, so this is a named
+    alias kept for model_index.json compatibility."""

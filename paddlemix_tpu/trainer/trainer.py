@@ -86,11 +86,20 @@ class Trainer:
     def setup(self, steps_per_epoch: Optional[int] = None):
         a = self.args
         total = self._total_steps(steps_per_epoch)
+        ld_kwargs = {}
+        if getattr(a, "layer_decay", None) and a.layer_decay < 1.0:
+            # layer-decay LR groups (reference optimization/clip_optimizer.py);
+            # the block count comes from the model config when available
+            cfg = getattr(self.model, "config", None)
+            n_layers = (getattr(cfg, "num_hidden_layers", None)
+                        or getattr(cfg, "num_layers", None) or 12)
+            ld_kwargs = dict(layer_decay=a.layer_decay,
+                             params=self.model.params, num_layers=n_layers)
         tx = create_optimizer(
             a.learning_rate, schedule=a.lr_scheduler_type, total_steps=total,
             warmup_steps=a.warmup_steps, weight_decay=a.weight_decay,
             beta1=a.adam_beta1, beta2=a.adam_beta2, eps=a.adam_epsilon,
-            max_grad_norm=a.max_grad_norm)
+            max_grad_norm=a.max_grad_norm, **ld_kwargs)
         if a.gradient_accumulation_steps > 1:
             tx = optax.MultiSteps(tx, a.gradient_accumulation_steps)
         self.tx = tx

@@ -590,3 +590,20 @@ def test_gligen_pipeline():
                  height=32, width=32, num_inference_steps=3,
                  gligen_scheduled_sampling_beta=0.7, output_type="np")
     assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 0
+
+
+def test_kandinsky_21_pipeline():
+    from paddlemix_tpu.diffusers.models import VQModel, VQModelConfig
+    from paddlemix_tpu.diffusers.pipelines import KandinskyPipeline
+
+    tok = _tiny_tokenizer()
+    movq = VQModel.from_config(VQModelConfig(
+        block_out_channels=(16, 32), layers_per_block=1, norm_num_groups=8,
+        latent_channels=4))
+    unet = _unet(dict(COND_UNET, out_channels=8))  # learned variance
+    pipe = KandinskyPipeline(
+        text_encoder=_tiny_text_encoder(tok), tokenizer=tok, unet=unet,
+        scheduler=DDIMScheduler(num_train_timesteps=100), movq=movq)
+    out, = pipe("a red cat", image_embeds=jnp.ones((1, 16)), height=32,
+                width=32, num_inference_steps=2)
+    assert np.isfinite(np.asarray(out)).all()
