@@ -196,3 +196,20 @@ def test_beam_search_beats_greedy_logprob(model):
     greedy = greedy_generate(model, ids, max_new_tokens=5)
     # length_penalty=0 => raw logprob sums comparable
     assert float(scores[0, 0]) >= traj_score(greedy[0]) - 1e-3
+
+
+def test_generate_bucketing_no_retrace(model):
+    """Varied prompt lengths within one bucket share a compiled program
+    (round-1 verdict: per-shape retraces would stall serving)."""
+    from paddlemix_tpu.models.llama.modeling import _GENERATE_CACHE
+
+    _GENERATE_CACHE.clear()
+    ids5 = jnp.asarray([[1, 5, 9, 11, 3]], jnp.int32)
+    ids9 = jnp.asarray([[1, 5, 9, 11, 3, 7, 2, 4, 6]], jnp.int32)
+    out5 = greedy_generate(model, ids5, max_new_tokens=4, bucket=16)
+    n_after_first = len(_GENERATE_CACHE)
+    out9 = greedy_generate(model, ids9, max_new_tokens=4, bucket=16)
+    assert len(_GENERATE_CACHE) == n_after_first == 1
+    # bucketed result matches the unbucketed computation
+    ref5 = greedy_generate(model, ids5, max_new_tokens=4, bucket=None)
+    np.testing.assert_array_equal(np.asarray(out5), np.asarray(ref5))
