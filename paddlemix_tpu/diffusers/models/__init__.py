@@ -40,3 +40,4 @@ from .lvdm import (
     LVDMUNet3DConfig,
     LVDMUNet3DModel,
 )
+from .stdit import STDiT2Config, STDiT2Model

@@ -91,3 +91,28 @@ def test_lvdm_pipelines(lvdm_vae, lvdm_unet):
     out, = pipe("a river", num_frames=4, height=16, width=16,
                 num_inference_steps=2)
     assert out.shape[0] == 1 and np.isfinite(out).all()
+
+
+def test_stdit2_forward_and_temporal_coupling():
+    """Open-Sora STDiT2 (reference examples/Open-Sora stdit2.py)."""
+    from paddlemix_tpu.diffusers.models import STDiT2Config, STDiT2Model
+
+    cfg = STDiT2Config(input_size=(2, 8, 8), hidden_size=32, depth=2,
+                       num_heads=2, caption_channels=24, patch_size=2)
+    model = STDiT2Model.from_config(cfg, seed=0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 8, 8, 4))
+    y = jnp.ones((1, 6, 24))
+    out = jax.jit(model.module.apply)({"params": model.params}, x,
+                                      jnp.asarray(100), y,
+                                      fps=jnp.asarray(8.0))
+    assert out.shape == (1, 2, 8, 8, 8)  # learned sigma doubles channels
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # temporal attention couples frames
+    x2 = x.at[:, 1].add(1.0)
+    out2 = model.module.apply({"params": model.params}, x2, jnp.asarray(100),
+                              y, fps=jnp.asarray(8.0))
+    assert float(jnp.abs(out[:, 0] - out2[:, 0]).max()) > 1e-6
+    # text conditioning is live
+    out3 = model.module.apply({"params": model.params}, x, jnp.asarray(100),
+                              y * 0.0, fps=jnp.asarray(8.0))
+    assert float(jnp.abs(out - out3).max()) > 1e-6
