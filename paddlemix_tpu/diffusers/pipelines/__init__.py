@@ -88,3 +88,7 @@ from .lvdm import LVDMTextToVideoPipeline, LVDMUncondPipeline
 from .text_to_video import VideoToVideoPipeline
 from .kandinsky import KandinskyPipeline
 from .stable_diffusion import StableDiffusionKDiffusionPipeline
+from .stable_diffusion_xl_variants import (
+    StableDiffusionXLImg2ImgPipeline,
+    StableDiffusionXLInpaintPipeline,
+)

@@ -607,3 +607,45 @@ def test_kandinsky_21_pipeline():
     out, = pipe("a red cat", image_embeds=jnp.ones((1, 16)), height=32,
                 width=32, num_inference_steps=2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sdxl_img2img_and_inpaint():
+    from paddlemix_tpu.diffusers.pipelines import (
+        StableDiffusionXLImg2ImgPipeline,
+        StableDiffusionXLInpaintPipeline,
+    )
+    from paddlemix_tpu.models.clip import CLIPTextConfig, CLIPTextModelWithProjection
+
+    tok = _tiny_tokenizer()
+
+    def proj_enc(dim):
+        return CLIPTextModelWithProjection.from_config(CLIPTextConfig(
+            vocab_size=tok.vocab_size, hidden_size=dim,
+            intermediate_size=dim * 2, num_hidden_layers=2,
+            num_attention_heads=2, max_position_embeddings=16,
+            eos_token_id=tok.eos_token_id, projection_dim=dim), seed=0)
+
+    sdxl_unet = _unet(dict(
+        sample_size=16, block_out_channels=(16, 32),
+        down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+        up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+        layers_per_block=1, cross_attention_dim=24, attention_head_dim=2,
+        use_linear_projection=True, addition_embed_type="text_time",
+        addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=12 + 6 * 8, norm_num_groups=8))
+    vae = AutoencoderKL.from_config(AutoencoderKLConfig.from_dict(TINY_VAE))
+    kw = dict(vae=vae, text_encoder=proj_enc(12), text_encoder_2=proj_enc(12),
+              tokenizer=tok, tokenizer_2=tok, unet=sdxl_unet,
+              scheduler=DDIMScheduler(num_train_timesteps=100))
+
+    img = np.zeros((32, 32, 3), np.float32)
+    out, = StableDiffusionXLImg2ImgPipeline(**kw)(
+        "a photo", image=img, strength=0.5, num_inference_steps=4,
+        output_type="np")
+    assert np.isfinite(np.asarray(out)).all()
+
+    mask = np.ones((32, 32), np.float32)
+    out, = StableDiffusionXLInpaintPipeline(**kw)(
+        "a photo", image=img, mask_image=mask, num_inference_steps=3,
+        output_type="np")
+    assert np.isfinite(np.asarray(out)).all()
