@@ -16,6 +16,7 @@ from flax import linen as nn
 
 from ...ops import scaled_dot_product_attention
 from ...ops.activations import gelu_tanh
+from ...ops.norms import group_norm as fused_group_norm
 
 
 def _qdg(quant):
@@ -181,6 +182,23 @@ class BasicTransformerBlock(nn.Module):
         return hidden
 
 
+class _GroupNorm32(nn.Module):
+    """Drop-in for nn.GroupNorm routed through ops.norms.group_norm: the
+    channel-minor formulation avoids the full-tensor fp32 layout copies XLA
+    emits for flax's grouped-reshape reduce (profiled ~10ms/step on SDXL)."""
+
+    groups: int = 32
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return fused_group_norm(x, scale, bias, self.groups, self.eps, act="none")
+
+
 class Transformer2DModel(nn.Module):
     """Spatial transformer over NHWC features (proj_in -> blocks -> proj_out)."""
 
@@ -200,7 +218,7 @@ class Transformer2DModel(nn.Module):
     def __call__(self, x, context=None, gligen_objs=None):
         b, h, w, c = x.shape
         residual = x
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = _GroupNorm32(self.groups, 1e-6, dtype=self.dtype, name="norm")(x)
         if self.use_linear_projection:
             x = x.reshape(b, h * w, c)
             x = nn.Dense(self.num_heads * self.head_dim, dtype=self.dtype,
@@ -240,8 +258,7 @@ class AttentionBlock2D(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         residual = x
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
-                         name="group_norm")(x)
+        x = _GroupNorm32(self.groups, 1e-6, dtype=self.dtype, name="group_norm")(x)
         x = x.reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)

@@ -20,7 +20,7 @@ from ...core.config import BaseConfig
 from ...core.modeling import PretrainedModel
 from .attention import Transformer2DModel
 from .embeddings import TimestepEmbedding, Timesteps
-from .resnet import Downsample2D, ResnetBlock2D, Upsample2D
+from .resnet import Downsample2D, GroupNormAct, ResnetBlock2D, Upsample2D
 
 
 @dataclasses.dataclass
@@ -362,9 +362,8 @@ class UNet2DConditionModule(nn.Module):
                                    quant=cfg.quant, dtype=self.dtype,
                                    name=f"up_blocks_{i}")(sample, block_skips, emb)
 
-        sample = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=self.dtype,
+        sample = GroupNormAct(groups=groups, eps=1e-5, act="silu", dtype=self.dtype,
                               name="conv_norm_out")(sample)
-        sample = nn.silu(sample)
         sample = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                          dtype=self.dtype, name="conv_out")(sample)
         return sample

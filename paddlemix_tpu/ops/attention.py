@@ -80,9 +80,14 @@ def attention_xla(
 LOG2E = float(np.log2(np.e))
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
-                m_scr, l_scr, acc_scr, *, causal, block_q, block_k,
-                num_kv, has_segments, mask_value, d_out, fuse_l):
+def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, *rest,
+                causal, block_q, block_k, num_kv, has_segments, mask_value,
+                d_out, fuse_l, want_lse):
+    # inference calls drop the lse output entirely (a pallas output is always
+    # written; (B,H,S,128-lane) fp32 lse is ~2GB/step of dead HBM traffic on
+    # the SDXL UNet) — rest is (lse_ref?, m_scr, l_scr, acc_scr)
+    lse_ref = rest[0] if want_lse else None
+    m_scr, l_scr, acc_scr = rest[1:] if want_lse else rest
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
@@ -139,13 +144,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
         l = acc_scr[:, d_out:d_out + 1] if fuse_l else l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[:, :d_out] * l_inv).astype(o_ref.dtype)
-        m = m_scr[:, :1]
-        lse = m + jnp.log2(jnp.where(l == 0.0, 1.0, l))
-        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+        if want_lse:
+            m = m_scr[:, :1]
+            lse = m + jnp.log2(jnp.where(l == 0.0, 1.0, l))
+            lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
-def _flash_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value):
-    """q: (B,Hq,Sq,D), k/v: (B,Hkv,Skv,D) -> o, lse(B,Hq,Sq,LANES fp32 base-2)."""
+def _flash_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value,
+               want_lse=True):
+    """q: (B,Hq,Sq,D), k/v: (B,Hkv,Skv,D) -> o, lse(B,Hq,Sq,LANES fp32 base-2).
+
+    want_lse=False (inference) drops the lse output and its HBM writes; the
+    return is then (o, None)."""
     b, hq, sq, d = q.shape
     _, hkv, skv, _ = k.shape
     g = hq // hkv
@@ -172,14 +182,17 @@ def _flash_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value
     kernel = functools.partial(
         _fwd_kernel, causal=causal, block_q=block_q, block_k=block_k,
         num_kv=nk, has_segments=has_segments, mask_value=mask_value,
-        d_out=d, fuse_l=fuse_l,
+        d_out=d, fuse_l=fuse_l, want_lse=want_lse,
     )
-    o, lse = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype)]
+    out_specs = [pl.BlockSpec((1, 1, block_q, d), lambda bb, h, qi, ki: (bb, h, qi, 0))]
+    if want_lse:
+        out_shape.append(jax.ShapeDtypeStruct((b, hq, sq, LANES), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 1, block_q, LANES), lambda bb, h, qi, ki: (bb, h, qi, 0)))
+    outs = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, hq, sq, LANES), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda bb, h, qi, ki: (bb, h, qi, 0)),
@@ -188,10 +201,7 @@ def _flash_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value
             pl.BlockSpec((1, 1, block_q), lambda bb, h, qi, ki: (bb, 0, qi)),
             pl.BlockSpec((1, 1, block_k), lambda bb, h, qi, ki: (bb, 0, ki)),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, block_q, d), lambda bb, h, qi, ki: (bb, h, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, LANES), lambda bb, h, qi, ki: (bb, h, qi, 0)),
-        ),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, LANES), jnp.float32),
@@ -202,7 +212,7 @@ def _flash_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value
         ),
         interpret=interpret_mode(),
     )(q, k, v, qseg, kseg)
-    return o, lse
+    return (outs[0], outs[1]) if want_lse else (outs[0], None)
 
 
 # ============================================================ Pallas backward
@@ -392,7 +402,9 @@ def _flash_bwd(q, k, v, segment_ids, scale, causal, block_q, block_k,
 # custom_vjp over (q, k, v, segment_ids); static: scale/causal/blocks
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _flash_attention(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value):
-    o, _ = _flash_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value)
+    # primal (not differentiated) path: skip the lse residual entirely
+    o, _ = _flash_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k,
+                      mask_value, want_lse=False)
     return o
 
 

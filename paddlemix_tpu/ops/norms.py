@@ -476,14 +476,33 @@ def _group_norm_pallas_impl(x3, w, b, groups, eps, act):
 
 def group_norm_silu_xla(x, weight, bias, groups: int, eps: float = 1e-5,
                         act: str = "silu"):
+    """Channel-minor GroupNorm without reshaping the big tensor.
+
+    Splitting C into (groups, C/groups) on the activation itself makes the
+    group dim part of the lane layout, and XLA answers with full-tensor fp32
+    layout copies around the reduce (profiled at ~10ms/step on the SDXL UNet).
+    Instead: reduce per-channel in the natural NHWC layout (convert+square
+    fuse into the reduce, nothing fp32 is materialized), then aggregate the
+    tiny (B, C) moments into (B, groups) and broadcast per-channel
+    scale/shift back — the normalize is one fused elementwise pass."""
     c = x.shape[-1]
-    orig = x.shape
-    xf = x.reshape(*x.shape[:-1], groups, c // groups).astype(jnp.float32)
-    red = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
-    mean = xf.mean(axis=red, keepdims=True)
-    var = xf.var(axis=red, keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = xf.reshape(orig) * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    cpg = c // groups
+    red = tuple(range(1, x.ndim - 1))
+    n = float(np.prod(x.shape[1:-1]) * cpg)
+    xf = x.astype(jnp.float32)
+    s = jnp.sum(xf, axis=red)        # (B, C)
+    s2 = jnp.sum(xf * xf, axis=red)  # (B, C)
+    gs = s.reshape(-1, groups, cpg).sum(-1)    # (B, G)
+    gs2 = s2.reshape(-1, groups, cpg).sum(-1)  # (B, G)
+    mean = gs / n
+    var = jnp.maximum(gs2 / n - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    mean_c = jnp.repeat(mean, cpg, axis=-1)    # (B, C)
+    inv_c = jnp.repeat(inv, cpg, axis=-1)
+    scale = inv_c * weight.astype(jnp.float32)
+    shift = bias.astype(jnp.float32) - mean_c * scale
+    bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
+    y = xf * scale.reshape(bshape) + shift.reshape(bshape)
     if act == "silu":
         y = y * jax.nn.sigmoid(y)
     return y.astype(x.dtype)

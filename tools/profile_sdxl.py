@@ -48,28 +48,55 @@ def main():
         out = step(unet.params, lat_in)
         np.asarray(out[0, :2, :2, 0])
 
-    # locate the xplane file and convert to op_profile/hlo stats
-    planes = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+    # locate the newest xplane file and aggregate op self-times directly from
+    # the proto (the tensorboard_plugin_profile converter needs a native
+    # _pywrap_profiler symbol this image lacks; the xplane itself is just a
+    # protobuf — run with PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python if the
+    # fast-proto descriptor check rejects the generated module)
+    planes = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
     print(f"# captured {planes}")
     if not planes:
         return
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    summarize_xplane(planes[-1])
 
-    csv, _ = raw_to_tool_data.xspace_to_tool_data(planes, "framework_op_stats^", {})
-    lines = csv.decode() if isinstance(csv, bytes) else str(csv)
-    rows = lines.splitlines()
-    import csv as csvmod
-    r = list(csvmod.reader(rows))
-    hdr = r[0]
-    print("\t".join(hdr[:10]))
-    # rank by total self time
-    try:
-        ti = hdr.index("total_self_time")
-    except ValueError:
-        ti = 3
-    body_rows = sorted(r[1:], key=lambda x: -float(x[ti]) if x[ti] else 0)
-    for row in body_rows[:40]:
-        print("\t".join(row[:10]))
+
+def summarize_xplane(path, steps=4, top=25):
+    import collections
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xs.ParseFromString(f.read())
+    plane = next(p for p in xs.planes if "TPU" in p.name or "device" in p.name.lower())
+    md, smd = plane.event_metadata, plane.stat_metadata
+    line = next(l for l in plane.lines if l.name == "XLA Ops")
+    dur = collections.Counter()
+    cnt = collections.Counter()
+    cat_of = {}
+    for ev in line.events:
+        m = md[ev.metadata_id]
+        dur[m.name] += ev.duration_ps
+        cnt[m.name] += 1
+        if m.name not in cat_of:
+            for st in list(ev.stats) + list(m.stats):
+                if smd[st.metadata_id].name == "hlo_category":
+                    cat_of[m.name] = st.str_value
+    # the outermost while's self time spans its body; drop it from totals
+    inner = {n: d for n, d in dur.items() if cat_of.get(n) != "while"}
+    total = sum(inner.values())
+    print(f"# inner-op time: {total / 1e12 * 1000:.1f} ms "
+          f"(~{total / 1e12 * 1000 / steps:.1f} ms/step over {steps} steps)")
+    bycat = collections.Counter()
+    for n, d in inner.items():
+        bycat[cat_of.get(n, "?")] += d
+    print("# -- by category (per step) --")
+    for c, d in bycat.most_common(12):
+        print(f"#  {d / total * 100:5.1f}%  {d / 1e12 * 1000 / steps:8.2f} ms  {c}")
+    print("# -- top ops (per step) --")
+    for n, d in sorted(inner.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"#  {d / 1e12 * 1000 / steps:7.3f} ms x{cnt[n]:<4} "
+              f"[{cat_of.get(n, '?')}] {n[:120]}")
 
 
 if __name__ == "__main__":
