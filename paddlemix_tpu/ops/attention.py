@@ -436,7 +436,7 @@ def _pad_to(x, axis, multiple):
 
 def flash_attention(
     q, k, v, *, causal=False, segment_ids: Optional[SegmentIds] = None,
-    scale: Optional[float] = None, block_q: int = 2048, block_k: int = 1024,
+    scale: Optional[float] = None, block_q: int = 1024, block_k: int = 2048,
     mask_value: float = DEFAULT_MASK_VALUE,
 ):
     """Flash attention, (B, S, H, D) layout. Pads seq/head_dim as needed."""
@@ -447,13 +447,20 @@ def flash_attention(
         # alignment for ragged decode shapes belongs to attention_xla
         raise ValueError(f"flash_attention causal requires sq == skv, got {sq} != {skv}")
     scale = (d ** -0.5) if scale is None else scale
-    # block-size sweep on v5e (S=4096/1024, D=64, bf16): 2048x1024 beats
-    # 512x1024 by ~13% (fewer grid revisits amortize the m/acc rescales);
-    # the shrink-to-fit loop lands on 1024x1024 at S=1024, also the winner.
-    # fp32 inputs double the q/k/v/p tile bytes — 2048x1024 then overflows
+    # block-size sweep on v5e (S=4096/1024, D=64, bf16): a wide kv block wins
+    # (1024x2048 edges out 2048x1024 ~2%, both well ahead of 512-class
+    # blocks — fewer grid revisits amortize the m/acc rescales); the
+    # shrink-to-fit loop lands on 1024x1024 at S=1024, also the winner.
+    # fp32 inputs double the q/k/v/p tile bytes — big blocks then overflow
     # the 16MB scoped VMEM, so clamp.
     if q.dtype == jnp.float32:
         block_q = min(block_q, 1024)
+        block_k = min(block_k, 1024)
+    if d > 256:
+        # wide heads (e.g. the VAE mid-block single 512-dim head) grow the
+        # q/k/v/acc tiles; shrink blocks to stay inside scoped VMEM
+        block_q = min(block_q, 512)
+        block_k = min(block_k, 1024)
     block_q = min(block_q, max(128, sq))
     block_k = min(block_k, max(128, skv))
     while sq % block_q and block_q > 128:
@@ -506,6 +513,10 @@ def scaled_dot_product_attention(
     if impl is None:
         flashable = (
             use_pallas() and bias is None and dropout_rate == 0.0
+            # d<=256: wider heads (VAE mid-block d=512) measure SLOWER via
+            # flash than XLA math on v5e (120ms vs 114ms for the 1024px VAE
+            # decode) — the K=512 contraction doesn't pay for the kernel's
+            # extra softmax state passes at bq=512
             and k.shape[1] >= 128 and q.shape[3] <= 256
             # flash kernel's causal mask is top-left aligned; attention_xla is
             # bottom-right — only equivalent when sq == skv, so route ragged

@@ -113,6 +113,35 @@ def test_flash_attention_segments_and_padding():
     np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_m), atol=2e-5)
 
 
+def test_flash_attention_wide_head():
+    """d=512 single head (VAE mid-block shape): flash must match math — the
+    SDPA auto path routes it to the kernel with shrunken blocks."""
+    b, s, h, d = 1, 256, 1, 512
+    q, k, v = rand(b, s, h, d), rand(b, s, h, d, key=1), rand(b, s, h, d, key=2)
+    o_f = flash_attention(q, k, v)
+    o_m = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_m), atol=2e-5)
+
+    from paddlemix_tpu.ops import scaled_dot_product_attention
+    o_auto = scaled_dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(o_auto), np.asarray(o_m), atol=2e-5)
+
+
+def test_flash_attention_inference_matches_grad_path():
+    """The no-lse inference kernel and the lse-producing fwd used under
+    jax.grad must produce identical outputs."""
+    b, s, h, d = 1, 256, 2, 64
+    q, k, v = rand(b, s, h, d), rand(b, s, h, d, key=1), rand(b, s, h, d, key=2)
+    o_inf = flash_attention(q, k, v, block_q=128, block_k=128)
+
+    # value_and_grad routes through the custom_vjp fwd rule (want_lse=True)
+    def f(q):
+        return flash_attention(q, k, v, block_q=128, block_k=128)
+
+    o_grad, _ = jax.vjp(f, q)
+    np.testing.assert_allclose(np.asarray(o_inf), np.asarray(o_grad), atol=1e-6)
+
+
 def test_flash_attention_grads():
     b, s, h, d = 1, 256, 2, 128
     q, k, v = rand(b, s, h, d), rand(b, s, h, d, key=1), rand(b, s, h, d, key=2)
