@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -52,7 +53,7 @@ class CrossAttention(nn.Module):
     quant: str = None
     dtype: jnp.dtype = jnp.float32
 
-    def _attend(self, q, ctx, name_k, name_v):
+    def _attend(self, q, ctx, name_k, name_v, capture=False):
         inner = self.num_heads * self.head_dim
         b, sq = q.shape[:2]
         k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
@@ -60,11 +61,21 @@ class CrossAttention(nn.Module):
         v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
                      dot_general=_qdg(self.quant), name=name_v)(ctx)
         sk = k.shape[1]
-        return scaled_dot_product_attention(
-            q.reshape(b, sq, self.num_heads, self.head_dim),
-            k.reshape(b, sk, self.num_heads, self.head_dim),
-            v.reshape(b, sk, self.num_heads, self.head_dim),
-        ).reshape(b, sq, inner)
+        qh = q.reshape(b, sq, self.num_heads, self.head_dim)
+        kh = k.reshape(b, sk, self.num_heads, self.head_dim)
+        vh = v.reshape(b, sk, self.num_heads, self.head_dim)
+        if capture:
+            # explicit-softmax path so the probabilities exist as a value to
+            # record (the reference swaps in AttendExciteAttnProcessor for
+            # this, ppdiffusers pipeline_stable_diffusion_attend_and_excite.py
+            # AttentionStore); active only under mutable=["intermediates"]
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qh.astype(jnp.float32),
+                                kh.astype(jnp.float32)) * (self.head_dim ** -0.5)
+            probs = jax.nn.softmax(logits, axis=-1)
+            self.sow("intermediates", "cross_attn_probs", probs.mean(axis=1))
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(vh.dtype), vh)
+            return out.reshape(b, sq, inner)
+        return scaled_dot_product_attention(qh, kh, vh).reshape(b, sq, inner)
 
     @nn.compact
     def __call__(self, hidden, context=None):
@@ -77,7 +88,8 @@ class CrossAttention(nn.Module):
             context = context[:, :-self.ip_tokens]
         q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
                      dot_general=_qdg(self.quant), name="to_q")(hidden)
-        out = self._attend(q, context, "to_k", "to_v")
+        capture = is_cross and self.is_mutable_collection("intermediates")
+        out = self._attend(q, context, "to_k", "to_v", capture=capture)
         if ip_ctx is not None:
             out = out + self.ip_scale * self._attend(q, ip_ctx, "to_k_ip", "to_v_ip")
         return nn.Dense(hidden.shape[-1], use_bias=self.out_bias, dtype=self.dtype,

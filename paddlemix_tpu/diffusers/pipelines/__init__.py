@@ -92,3 +92,4 @@ from .stable_diffusion_xl_variants import (
     StableDiffusionXLImg2ImgPipeline,
     StableDiffusionXLInpaintPipeline,
 )
+from .attend_and_excite import StableDiffusionAttendAndExcitePipeline
