@@ -113,8 +113,9 @@ def main():
     # optional fast path (reference counterparts: triton weight_only_int8,
     # tomesd): int8 a8w8 matmuls/convs and/or ToMe self-attn token merging
     unet_cfg = dict(SDXL_UNET)
-    if os.environ.get("BENCH_QUANT"):
-        unet_cfg["quant"] = os.environ["BENCH_QUANT"]
+    quant_mode = os.environ.get("BENCH_QUANT", "")
+    if quant_mode and quant_mode != "a8w8_static":
+        unet_cfg["quant"] = quant_mode
     if os.environ.get("BENCH_TOME"):
         unet_cfg["tome_ratio"] = float(os.environ["BENCH_TOME"])
     unet = _unet(unet_cfg, jnp.bfloat16)
@@ -172,8 +173,26 @@ def main():
     run = jax.jit(denoise_and_decode)
     latents = latents0 * scheduler.init_noise_sigma
 
+    import contextlib
+    quant_ctx = contextlib.nullcontext()
+    if quant_mode == "a8w8_static":
+        # static-scale PTQ: one compiled calibration forward records per-layer
+        # activation absmax; the denoise program then traces every UNet
+        # Dense/Conv as int8 with those scales (ops/static_quant.py)
+        from paddlemix_tpu.ops.static_quant import calibrate_jit, quantized
+
+        t_in0 = jnp.broadcast_to(state.timesteps[0], (2 * batch,))
+        scales = calibrate_jit(
+            unet.module, {"params": unet.params},
+            jnp.concatenate([latents0, latents0]).astype(jnp.bfloat16), t_in0,
+            context, added_cond_kwargs={"text_embeds": text_embeds,
+                                        "time_ids": time_ids})
+        print(f"# calibrated {len(scales)} layers", file=sys.stderr)
+        quant_ctx = quantized(scales)
+
     t0 = time.time()
-    img = run(unet.params, vae.params, latents, state)
+    with quant_ctx:  # active during trace: bakes a8w8 into the program
+        img = run(unet.params, vae.params, latents, state)
     np.asarray(img[0, :2, :2])  # tiny host fetch: reliable completion fence
     compile_s = time.time() - t0
 
