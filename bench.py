@@ -178,7 +178,10 @@ def main():
     if quant_mode == "a8w8_static":
         # static-scale PTQ: one compiled calibration forward records per-layer
         # activation absmax; the denoise program then traces every UNet
-        # Dense/Conv as int8 with those scales (ops/static_quant.py)
+        # Dense/Conv as int8 with those scales (ops/static_quant.py).
+        # CAVEAT (measured): flax method interception costs ~minutes of pure
+        # Python tracing at SDXL scale (~1700 intercepted modules) — fine for
+        # small/medium models, budget 15+ min compile here.
         from paddlemix_tpu.ops.static_quant import calibrate_jit, quantized
 
         t_in0 = jnp.broadcast_to(state.timesteps[0], (2 * batch,))

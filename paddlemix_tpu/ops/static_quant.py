@@ -75,14 +75,20 @@ def calibrate_jit(module: nn.Module, variables, *args, **kwargs) -> Dict[str, fl
             stats[_path_key(mod)] = jnp.max(jnp.abs(f_args[0].astype(jnp.float32)))
         return next_fun(*f_args, **f_kwargs)
 
+    keys = []
+
     def run(variables, *args):
         stats.clear()
         with nn.intercept_methods(interceptor):
             module.apply(variables, *args, **kwargs)
-        return dict(stats)
+        keys[:] = list(stats)
+        # ONE stacked output: hundreds of scalar outputs make XLA's output
+        # handling pathological (an SDXL-size calibration failed to compile
+        # inside 9 minutes with a dict return; seconds with a vector)
+        return jnp.stack([stats[k] for k in keys])
 
-    out = jax.jit(run)(variables, *args)
-    return {k: max(float(v), 1e-6) for k, v in out.items()}
+    out = np.asarray(jax.jit(run)(variables, *args))
+    return {k: max(float(v), 1e-6) for k, v in zip(keys, out)}
 
 
 # ---------------------------------------------------------------- inference
