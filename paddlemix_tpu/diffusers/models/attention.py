@@ -25,6 +25,9 @@ def _qdg(quant):
     if quant == "a8w8":
         from ...ops.quant import quantizing_dot_general
         return quantizing_dot_general
+    if quant == "a8w8_static":
+        from ...ops.quant import static_quant_dot_general
+        return static_quant_dot_general
     return None
 
 
@@ -32,6 +35,9 @@ def _qcg(quant):
     if quant == "a8w8":
         from ...ops.quant import quantizing_conv_general_dilated
         return quantizing_conv_general_dilated
+    if quant == "a8w8_static":
+        from ...ops.quant import static_quant_conv_general_dilated
+        return static_quant_conv_general_dilated
     return None
 
 

@@ -18,6 +18,9 @@ def _qcg(quant):
     if quant == "a8w8":
         from ...ops.quant import quantizing_conv_general_dilated
         return quantizing_conv_general_dilated
+    if quant == "a8w8_static":
+        from ...ops.quant import static_quant_conv_general_dilated
+        return static_quant_conv_general_dilated
     return None
 
 

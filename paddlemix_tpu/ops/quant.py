@@ -125,6 +125,109 @@ def quantizing_conv_general_dilated(lhs, rhs, window_strides, padding,
     return (acc.astype(jnp.float32) * sx * sw.reshape(sw_bshape)).astype(lhs.dtype)
 
 
+# --------------------------------------------------- static-scale a8w8 (PTQ)
+# Call-order keyed static activation scales: flax traces a model's ops in a
+# deterministic order, so a record-trace and an apply-trace of the SAME model
+# visit the quantized ops in the same sequence. This sidesteps both the
+# per-step amax reduces that make dynamic a8w8 a net loss (README measured
+# negatives) and the minutes-long flax interception cost of
+# ops/static_quant.py at SDXL scale. Reference counterpart: Paddle PTQ static
+# quant passes feeding the deploy int8 path.
+_STATIC_SCOPE = None
+
+
+class static_a8w8_scope:
+    """``with static_a8w8_scope("record") as ctx:`` — trace the model in fp,
+    collecting per-call activation amax tracers in ``ctx.scales`` (return them
+    from the jitted fn, e.g. ``jnp.stack(ctx.scales)``).
+
+    ``with static_a8w8_scope("apply", scales):`` — trace again; each
+    quantized op consumes the next scale in call order and runs int8."""
+
+    def __init__(self, mode, scales=None):
+        assert mode in ("record", "apply")
+        self.mode = mode
+        self.scales = [] if scales is None else list(scales)
+        self.i = 0
+
+    def __enter__(self):
+        global _STATIC_SCOPE
+        self._prev = _STATIC_SCOPE
+        _STATIC_SCOPE = self
+        return self
+
+    def __exit__(self, *exc):
+        global _STATIC_SCOPE
+        _STATIC_SCOPE = self._prev
+        return False
+
+    def next_scale(self):
+        s = self.scales[self.i]
+        self.i += 1
+        return s
+
+
+def static_quant_dot_general(lhs, rhs, dimension_numbers, precision=None,
+                             preferred_element_type=None):
+    """Like quantizing_dot_general but with call-order static activation
+    scales from the enclosing static_a8w8_scope. Outside a scope (e.g. during
+    module init) it is the plain fp dot."""
+    ctx = _STATIC_SCOPE
+    (lc, rc), (lb, rb) = dimension_numbers
+    plain = (ctx is None or lb or rb or tuple(lc) != (lhs.ndim - 1,)
+             or tuple(rc) != (0,) or rhs.ndim != 2)
+    if plain or ctx.mode == "record":
+        if not plain:
+            ctx.scales.append(jnp.max(jnp.abs(lhs.astype(jnp.float32))))
+        return jax.lax.dot_general(lhs, rhs, dimension_numbers,
+                                   precision=precision,
+                                   preferred_element_type=preferred_element_type)
+    sx = jnp.maximum(jnp.asarray(ctx.next_scale(), jnp.float32), 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(lhs.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    wmax = jnp.max(jnp.abs(rhs.astype(jnp.float32)), axis=0, keepdims=True)
+    sw = jnp.maximum(wmax, 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(rhs.astype(jnp.float32) / sw), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, wq, dimension_numbers,
+                              preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * sx * sw).astype(lhs.dtype)
+
+
+def static_quant_conv_general_dilated(lhs, rhs, window_strides, padding,
+                                      lhs_dilation=None, rhs_dilation=None,
+                                      dimension_numbers=None,
+                                      feature_group_count=1, batch_group_count=1,
+                                      precision=None, preferred_element_type=None):
+    ctx = _STATIC_SCOPE
+    kwargs = dict(window_strides=window_strides, padding=padding,
+                  lhs_dilation=lhs_dilation, rhs_dilation=rhs_dilation,
+                  dimension_numbers=dimension_numbers,
+                  feature_group_count=feature_group_count,
+                  batch_group_count=batch_group_count, precision=precision)
+    plain = ctx is None or feature_group_count != 1 or batch_group_count != 1
+    if plain or ctx.mode == "record":
+        if not plain:
+            ctx.scales.append(jnp.max(jnp.abs(lhs.astype(jnp.float32))))
+        return jax.lax.conv_general_dilated(
+            lhs, rhs, preferred_element_type=preferred_element_type, **kwargs)
+    dn = dimension_numbers
+    if not isinstance(dn, jax.lax.ConvDimensionNumbers):
+        dn = jax.lax.conv_dimension_numbers(lhs.shape, rhs.shape, dn)
+        kwargs["dimension_numbers"] = dn
+    sx = jnp.maximum(jnp.asarray(ctx.next_scale(), jnp.float32), 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(lhs.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    o_axis = dn.rhs_spec[0]
+    red = tuple(i for i in range(rhs.ndim) if i != o_axis)
+    wmax = jnp.max(jnp.abs(rhs.astype(jnp.float32)), axis=red, keepdims=True)
+    sw = jnp.maximum(wmax, 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(rhs.astype(jnp.float32) / sw), -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(xq, wq, preferred_element_type=jnp.int32,
+                                       **kwargs)
+    c_axis = dn.out_spec[1]
+    sw_bshape = [1] * acc.ndim
+    sw_bshape[c_axis] = acc.shape[c_axis]
+    return (acc.astype(jnp.float32) * sx * sw.reshape(sw_bshape)).astype(lhs.dtype)
+
+
 def wint8_matmul_xla(x, wq, scale):
     out = jnp.dot(x.astype(jnp.bfloat16), wq.astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32)

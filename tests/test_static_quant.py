@@ -66,6 +66,43 @@ def test_uncalibrated_layers_stay_fp():
     assert rel < 0.1
 
 
+def test_trace_order_scope_on_quant_configured_unet():
+    """The zero-interception variant (ops/quant.py static_a8w8_scope): a UNet
+    built with quant="a8w8_static" runs plain fp outside any scope, records
+    per-op amax under a "record" scope, and consumes the scales in call order
+    under an "apply" scope — the mechanism behind the bench's default mode."""
+    from paddlemix_tpu.diffusers.models import (
+        UNet2DConditionConfig,
+        UNet2DConditionModel,
+    )
+    from paddlemix_tpu.ops.quant import static_a8w8_scope
+
+    unet = UNet2DConditionModel.from_config(UNet2DConditionConfig.from_dict(dict(
+        sample_size=8, block_out_channels=(32, 64),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        layers_per_block=1, cross_attention_dim=32, attention_head_dim=2,
+        norm_num_groups=8, quant="a8w8_static")))
+    lat = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32))
+    t = jnp.asarray(7)
+    ref = unet.module.apply({"params": unet.params}, lat, t, ctx)  # no scope: fp
+
+    def calib(params, lat):
+        with static_a8w8_scope("record") as c:
+            unet.module.apply({"params": params}, lat, t, ctx)
+        return jnp.stack(c.scales)
+
+    scales = np.asarray(jax.jit(calib)(unet.params, lat))
+    assert len(scales) > 30
+    with static_a8w8_scope("apply", [float(v) for v in scales]):
+        q = jax.jit(lambda p, l: unet.module.apply({"params": p}, l, t, ctx))(
+            unet.params, lat)
+    rel = float(jnp.abs(q - ref).max() / (jnp.abs(ref).max() + 1e-9))
+    assert np.isfinite(np.asarray(q)).all()
+    assert 1e-6 < rel < 0.35, rel  # quantized, but close to fp
+
+
 def test_quantized_on_real_unet_block():
     """End-to-end on the tiny conditional UNet used by the pipeline tests."""
     from paddlemix_tpu.diffusers.models import (
