@@ -124,7 +124,9 @@ def main():
         unet_cfg["quant"] = quant_mode
     if os.environ.get("BENCH_TOME"):
         unet_cfg["tome_ratio"] = float(os.environ["BENCH_TOME"])
+    t_setup = time.time()
     unet = _unet(unet_cfg, jnp.bfloat16)
+    print(f"# unet built {time.time()-t_setup:.0f}s", file=sys.stderr)
 
     # SDXL VAE (random weights, real architecture)
     vae_cfg = AutoencoderKLConfig(sample_size=res, scaling_factor=0.13025)
@@ -133,14 +135,11 @@ def main():
     v_shapes = jax.eval_shape(
         lambda: vae.module.init(jax.random.PRNGKey(0), *v_args, **v_kwargs))["params"]
 
-    def materialize(shapes, key):
-        leaves, treedef = jax.tree_util.tree_flatten(shapes)
-        keys = jax.random.split(key, len(leaves))
-        vals = [jax.random.normal(k, l.shape, jnp.bfloat16) * 0.02
-                for k, l in zip(keys, leaves)]
-        return jax.tree_util.tree_unflatten(treedef, vals)
-
-    vae.params = jax.jit(lambda k: materialize(v_shapes, k))(jax.random.PRNGKey(1))
+    # constant fill (values are timing-irrelevant; the per-leaf random-normal
+    # program costs ~1 min of relay compile, see __graft_entry__._unet)
+    vae.params = jax.jit(lambda: jax.tree_util.tree_map(
+        lambda l: jnp.full(l.shape, 0.02, jnp.bfloat16), v_shapes))()
+    print(f"# vae built {time.time()-t_setup:.0f}s", file=sys.stderr)
 
     scheduler = EulerDiscreteScheduler(
         num_train_timesteps=1000, beta_schedule="scaled_linear",
