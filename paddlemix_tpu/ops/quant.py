@@ -125,6 +125,42 @@ def quantizing_conv_general_dilated(lhs, rhs, window_strides, padding,
     return (acc.astype(jnp.float32) * sx * sw.reshape(sw_bshape)).astype(lhs.dtype)
 
 
+def np_prod(xs):
+    out = 1
+    for v in xs:
+        out *= int(v)
+    return out
+
+
+def _int8_backend(env_name: str) -> str:
+    """Per-op-family int8 backend: PMIX_INT8_CONV / PMIX_INT8_MM = pallas|xla.
+    Defaults: conv=pallas (XLA int8 convs reach only 1.35x bf16 on v5e —
+    measured, README), mm=xla until the Pallas a8w8 matmul microbenches ahead."""
+    import os
+    default = "pallas" if env_name == "PMIX_INT8_CONV" else "xla"
+    return os.environ.get(env_name, default)
+
+
+def _normalized_same_padding(padding, lhs_shape, rhs_shape, dn):
+    """Classify conv padding: 'same3x3' for ((1,1),(1,1))/SAME on a 3x3,
+    'valid1x1' for zero padding on a 1x1, else None."""
+    kh_ax, kw_ax = dn.rhs_spec[2], dn.rhs_spec[3]
+    kh, kw = rhs_shape[kh_ax], rhs_shape[kw_ax]
+    if isinstance(padding, str):
+        if padding.upper() == "SAME":
+            return "same3x3" if (kh, kw) == (3, 3) else (
+                "valid1x1" if (kh, kw) == (1, 1) else None)
+        if padding.upper() == "VALID":
+            return "valid1x1" if (kh, kw) == (1, 1) else None
+        return None
+    pad = tuple(tuple(int(v) for v in p) for p in padding)
+    if pad == ((1, 1), (1, 1)) and (kh, kw) == (3, 3):
+        return "same3x3"
+    if pad == ((0, 0), (0, 0)) and (kh, kw) == (1, 1):
+        return "valid1x1"
+    return None
+
+
 # --------------------------------------------------- static-scale a8w8 (PTQ)
 # Call-order keyed static activation scales: flax traces a model's ops in a
 # deterministic order, so a record-trace and an apply-trace of the SAME model
@@ -167,6 +203,15 @@ class static_a8w8_scope:
         return s
 
 
+def _static_scale(raw):
+    """Scale from the scope as a python float when possible (lets the Pallas
+    kernels fold it as a compile-time constant), else None."""
+    try:
+        return max(float(raw), 1e-6) / 127.0
+    except (TypeError, jax.errors.ConcretizationTypeError):
+        return None
+
+
 def static_quant_dot_general(lhs, rhs, dimension_numbers, precision=None,
                              preferred_element_type=None):
     """Like quantizing_dot_general but with call-order static activation
@@ -182,7 +227,15 @@ def static_quant_dot_general(lhs, rhs, dimension_numbers, precision=None,
         return jax.lax.dot_general(lhs, rhs, dimension_numbers,
                                    precision=precision,
                                    preferred_element_type=preferred_element_type)
-    sx = jnp.maximum(jnp.asarray(ctx.next_scale(), jnp.float32), 1e-6) / 127.0
+    raw = ctx.next_scale()
+    sxf = _static_scale(raw)
+    if sxf is not None and _int8_backend("PMIX_INT8_MM") == "pallas":
+        from .conv_int8 import int8_a8w8_matmul
+        k, n = rhs.shape
+        m = int(np_prod(lhs.shape[:-1]))
+        if m % 8 == 0 and k % 128 == 0 and n % 128 == 0:
+            return int8_a8w8_matmul(lhs, rhs, sxf)
+    sx = jnp.maximum(jnp.asarray(raw, jnp.float32), 1e-6) / 127.0
     xq = jnp.clip(jnp.round(lhs.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
     wmax = jnp.max(jnp.abs(rhs.astype(jnp.float32)), axis=0, keepdims=True)
     sw = jnp.maximum(wmax, 1e-8) / 127.0
@@ -213,7 +266,27 @@ def static_quant_conv_general_dilated(lhs, rhs, window_strides, padding,
     if not isinstance(dn, jax.lax.ConvDimensionNumbers):
         dn = jax.lax.conv_dimension_numbers(lhs.shape, rhs.shape, dn)
         kwargs["dimension_numbers"] = dn
-    sx = jnp.maximum(jnp.asarray(ctx.next_scale(), jnp.float32), 1e-6) / 127.0
+    raw = ctx.next_scale()
+    sxf = _static_scale(raw)
+    if sxf is not None and use_pallas() \
+            and _int8_backend("PMIX_INT8_CONV") == "pallas":
+        from .conv_int8 import conv3x3_supported, int8_a8w8_matmul, \
+            int8_conv3x3_same
+        pad = _normalized_same_padding(padding, lhs.shape, rhs.shape, dn)
+        if pad == "same3x3" and conv3x3_supported(
+                lhs.shape, rhs.shape, window_strides,
+                lhs_dilation, rhs_dilation, dn):
+            return int8_conv3x3_same(lhs, rhs, sxf)
+        if pad == "valid1x1" and dn.rhs_spec == (3, 2, 0, 1) \
+                and dn.lhs_spec == (0, 3, 1, 2) \
+                and tuple(window_strides) == (1, 1):
+            kh, kw, c, o = rhs.shape
+            b, h, wd, _ = lhs.shape
+            if (b * h * wd) % 8 == 0 and c % 128 == 0 and o % 128 == 0:
+                out = int8_a8w8_matmul(lhs.reshape(-1, c),
+                                       rhs.reshape(c, o), sxf)
+                return out.reshape(b, h, wd, o)
+    sx = jnp.maximum(jnp.asarray(raw, jnp.float32), 1e-6) / 127.0
     xq = jnp.clip(jnp.round(lhs.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
     o_axis = dn.rhs_spec[0]
     red = tuple(i for i in range(rhs.ndim) if i != o_axis)
