@@ -46,16 +46,29 @@ def pad_collate(batch: Sequence[Dict[str, Any]], pad_token_id: int = 0,
 
 
 class DataLoader:
-    """Minimal shuffling batcher over a MapDataset."""
+    """Shuffling batcher over a MapDataset with an async worker pool.
+
+    ``num_workers > 0`` runs fetch+collate for upcoming batches in a thread
+    pool with a ``prefetch_batches``-deep ordered queue, so host
+    preprocessing overlaps device compute (the reference overlaps via
+    paddle DataLoader worker processes and tracks the residue as
+    reader-cost telemetry, blip2_trainer.py:125-155; here threads suffice —
+    PIL/numpy/the native preprocess extension release the GIL for the hot
+    loops, and batches land in-order with no IPC serialization)."""
 
     def __init__(self, dataset, batch_size: int, collate_fn=stack_collate,
-                 shuffle: bool = False, seed: int = 0, drop_last: bool = True):
+                 shuffle: bool = False, seed: int = 0, drop_last: bool = True,
+                 num_workers: int = 0, prefetch_batches: int = 4,
+                 sampler=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch_batches = max(prefetch_batches, num_workers or 1)
+        self.sampler = sampler  # e.g. datasets.LengthGroupedSampler
         self._epoch = 0
 
     def __len__(self):
@@ -64,14 +77,42 @@ class DataLoader:
             n += 1
         return n
 
-    def __iter__(self):
-        idx = np.arange(len(self.dataset))
-        if self.shuffle:
-            np.random.RandomState(self.seed + self._epoch).shuffle(idx)
-            self._epoch += 1
+    def _chunks(self):
+        if self.sampler is not None:
+            idx = np.fromiter(iter(self.sampler), dtype=np.int64)
+        else:
+            idx = np.arange(len(self.dataset))
+            if self.shuffle:
+                np.random.RandomState(self.seed + self._epoch).shuffle(idx)
+                self._epoch += 1
         for i in range(0, len(idx) - (self.batch_size - 1 if self.drop_last else 0),
                        self.batch_size):
             chunk = idx[i: i + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 break
-            yield self.collate_fn([self.dataset[j] for j in chunk])
+            yield chunk
+
+    def _fetch(self, chunk):
+        return self.collate_fn([self.dataset[j] for j in chunk])
+
+    def __iter__(self):
+        if not self.num_workers:
+            for chunk in self._chunks():
+                yield self._fetch(chunk)
+            return
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            futs = collections.deque()
+            chunks = self._chunks()
+            for chunk in chunks:
+                futs.append(pool.submit(self._fetch, chunk))
+                if len(futs) >= self.prefetch_batches:
+                    break
+            while futs:
+                batch = futs.popleft().result()
+                nxt = next(chunks, None)
+                if nxt is not None:
+                    futs.append(pool.submit(self._fetch, nxt))
+                yield batch

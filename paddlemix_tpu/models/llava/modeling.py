@@ -174,13 +174,22 @@ class LlavaForConditionalGeneration(PretrainedModel):
 
     def generate(self, input_ids, pixel_values=None, attention_mask=None,
                  max_new_tokens: int = 32, **kwargs):
-        """Greedy/sampled generation with the image spliced into the prefill."""
+        """Greedy/sampled generation with the image spliced into the prefill.
+
+        The vision encode + splice runs as ONE jitted program (cached on the
+        model) — op-by-op dispatch of a 24-layer ViT would dominate TTFT."""
         inputs_embeds = None
         if pixel_values is not None:
-            feats = self.encode_images(pixel_values)
-            inputs_embeds = self.module.apply(
-                {"params": self.params}, jnp.asarray(input_ids), feats,
-                method=self.module.splice_image_features)
+            if getattr(self, "_embed_jit", None) is None:
+                def _embed(params, ids, px):
+                    feats = self.module.apply({"params": params}, px,
+                                              method=self.module.encode_images)
+                    return self.module.apply(
+                        {"params": params}, ids, feats,
+                        method=self.module.splice_image_features)
+                self._embed_jit = jax.jit(_embed)
+            inputs_embeds = self._embed_jit(self.params, jnp.asarray(input_ids),
+                                            jnp.asarray(pixel_values))
         lm = _LlamaView(self)
         return greedy_generate(lm, input_ids, attention_mask,
                                max_new_tokens=max_new_tokens,

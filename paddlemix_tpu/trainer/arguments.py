@@ -37,8 +37,18 @@ class TrainingArguments(BaseConfig):
     fsdp_parallel_degree: int = 1   # reference: sharding_parallel_degree
     tensor_parallel_degree: int = 1
     sequence_parallel_degree: int = 1  # reference: sep_parallel_degree
+    # input pipeline (reference: paddle DataLoader num_workers; here a thread
+    # pool in datasets.DataLoader + device put-ahead in the train loop)
+    dataloader_num_workers: int = 4
+    prefetch_depth: int = 2
     # telemetry (reference: benchmark/profiler_options flags)
     benchmark: bool = False
     profiler_options: Optional[str] = None
     report_to: str = "none"  # none | tensorboard
     resume_from_checkpoint: Optional[str] = None
+    # evaluation (reference: do_eval/evaluation_strategy/metric_for_best_model)
+    do_eval: bool = False
+    eval_steps: int = 0            # 0 = eval at end of training only
+    per_device_eval_batch_size: int = 8
+    metric_for_best_model: str = "loss"
+    greater_is_better: bool = False

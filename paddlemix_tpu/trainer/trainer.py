@@ -44,6 +44,9 @@ class Trainer:
         args: Optional[TrainingArguments] = None,
         loss_fn: Optional[Callable] = None,
         train_dataloader: Optional[Iterable] = None,
+        eval_dataloader: Optional[Iterable] = None,
+        eval_fn: Optional[Callable] = None,
+        compute_metrics: Optional[Callable] = None,
         params=None,
         sharding_rules: Rules = TRANSFORMER_RULES,
         callbacks: Optional[list] = None,
@@ -52,12 +55,22 @@ class Trainer:
         self.args = args or TrainingArguments()
         self.loss_fn = loss_fn
         self.train_dataloader = train_dataloader
+        self.eval_dataloader = eval_dataloader
+        # eval_fn(params, batch) -> dict of per-batch metrics/arrays;
+        # defaults to {'loss': loss_fn(...)}. compute_metrics(outputs) folds
+        # the collected per-batch outputs into corpus metrics (the reference
+        # BLIP2Trainer COCO caption/VQA eval, blip2_trainer.py:643-687).
+        self.eval_fn = eval_fn
+        self.compute_metrics = compute_metrics
         self.params = params if params is not None else (model.params if model else None)
         self.sharding_rules = sharding_rules
         self.callbacks = callbacks or []
         self.mesh = None
         self.state: Optional[TrainState] = None
         self._ckpt_mgr = None
+        self.best_metric: Optional[float] = None
+        self.best_step: Optional[int] = None
+        self._eval_step_fn = None
 
     # ------------------------------------------------------------ setup
     def _build_mesh(self):
@@ -199,6 +212,112 @@ class Trainer:
             except ValueError:  # non-main thread
                 break
 
+    def _prepare_batch(self, batch):
+        """Host batch -> device arrays, trimmed + sharded for the mesh.
+
+        A batch not divisible by data*fsdp is TRIMMED to the largest
+        divisible sub-batch (dropping <n_shards samples) instead of silently
+        replicating the whole batch to every shard — replication was an 8x
+        throughput loss on exactly the misconfigurations users hit."""
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is None:
+            return batch
+        n_shards = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
+        bs = int(next(iter(batch.values())).shape[0])
+        keep = (bs // n_shards) * n_shards
+        if keep == 0:
+            if not getattr(self, "_warned_replicate", False):
+                logger.warning(
+                    "batch size %d < data*fsdp=%d shards; replicating "
+                    "(raise the batch size to shard it)", bs, n_shards)
+                self._warned_replicate = True
+            return batch
+        if keep != bs:
+            if not getattr(self, "_warned_trim", False):
+                logger.warning(
+                    "batch size %d not divisible by data*fsdp=%d; trimming "
+                    "to %d samples/step", bs, n_shards, keep)
+                self._warned_trim = True
+            batch = {k: v[:keep] if v.shape and v.shape[0] == bs else v
+                     for k, v in batch.items()}
+        return shard_batch(batch, self.mesh)
+
+    # ------------------------------------------------------------ eval
+    def _build_eval_step(self):
+        if self._eval_step_fn is not None:
+            return self._eval_step_fn
+        if self.eval_fn is not None:
+            fn = self.eval_fn
+        else:
+            assert self.loss_fn is not None, "evaluate() needs eval_fn or loss_fn"
+
+            def fn(params, batch):
+                out = self.loss_fn(params, batch, jax.random.PRNGKey(0))
+                loss = out[0] if isinstance(out, tuple) else out
+                return {"loss": loss}
+
+        self._eval_step_fn = jax.jit(fn)
+        return self._eval_step_fn
+
+    def evaluate(self, eval_dataloader=None, prefix: str = "eval"):
+        """Jitted no-grad pass over the eval set. Scalar outputs are averaged;
+        array outputs are collected for ``compute_metrics`` (corpus metrics:
+        CIDEr/BLEU/VQA-acc from metrics/, reference blip2_trainer.py:643-687)."""
+        loader = eval_dataloader or self.eval_dataloader
+        assert loader is not None, "no eval_dataloader"
+        step_fn = self._build_eval_step()
+        params = self.state.params if self.state is not None else self.params
+        sums: Dict[str, float] = {}
+        collected: Dict[str, list] = {}
+        n = 0
+        ctx = self.mesh or _nullcontext()
+        for batch in loader:
+            batch = self._prepare_batch(batch)
+            with ctx:
+                out = step_fn(params, batch)
+            for k, v in out.items():
+                v = np.asarray(v)
+                if v.ndim == 0:
+                    sums[k] = sums.get(k, 0.0) + float(v)
+                else:
+                    collected.setdefault(k, []).append(v)
+            n += 1
+        metrics = {f"{prefix}_{k}": v / max(n, 1) for k, v in sums.items()}
+        if self.compute_metrics is not None and collected:
+            extra = self.compute_metrics(
+                {k: np.concatenate(v) for k, v in collected.items()})
+            metrics.update({f"{prefix}_{k}": float(v) for k, v in extra.items()})
+        logger.train("eval @%d: %s", int(self.state.step) if self.state else 0,
+                     " ".join(f"{k}: {v:.4f}" for k, v in metrics.items()))
+        for cb in self.callbacks:
+            cb(step=int(self.state.step) if self.state else 0, metrics=metrics)
+        return metrics
+
+    def predict(self, dataloader, predict_fn):
+        """Collect jitted per-batch predictions (reference Trainer.predict)."""
+        fn = jax.jit(predict_fn)
+        params = self.state.params if self.state is not None else self.params
+        outs = []
+        for batch in dataloader:
+            outs.append(jax.tree_util.tree_map(
+                np.asarray, fn(params, self._prepare_batch(batch))))
+        return outs
+
+    def _maybe_eval_and_track_best(self, step: int):
+        metrics = self.evaluate()
+        a = self.args
+        key = f"eval_{a.metric_for_best_model}"
+        if key not in metrics:
+            return
+        val = metrics[key]
+        better = (self.best_metric is None
+                  or (val > self.best_metric if a.greater_is_better
+                      else val < self.best_metric))
+        if better:
+            self.best_metric, self.best_step = val, step
+            logger.train("new best %s=%.4f at step %d", key, val, step)
+            self.save_checkpoint(step)
+
     def train(self, max_steps: Optional[int] = None):
         a = self.args
         assert self.train_dataloader is not None and self.loss_fn is not None
@@ -211,26 +330,25 @@ class Trainer:
         total = max_steps or self._total_steps(None)
         rng = jax.random.PRNGKey(a.seed)
         ips_window, t_last = [], time.time()
+        reader_window = []
         samples_per_step = None
         step = int(self.state.step)
         metrics = {}
 
         for epoch in range(max(a.num_train_epochs, 1)):
-            for batch in self.train_dataloader:
+            # device put-ahead: prepare (host->device + shard) the NEXT batch
+            # while the current step runs — jax dispatch is async, so the
+            # transfer overlaps compute and the loop only blocks on results.
+            batches = _prefetch_to_device(iter(self.train_dataloader),
+                                          self._prepare_batch,
+                                          depth=a.prefetch_depth)
+            for t_reader, batch in batches:
                 if step >= total:
                     break
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                reader_window.append(t_reader)
                 if samples_per_step is None:
                     lead = next(iter(batch.values()))
                     samples_per_step = int(lead.shape[0])
-                if self.mesh is not None:
-                    n_batch_shards = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
-                    if samples_per_step % n_batch_shards == 0:
-                        batch = shard_batch(batch, self.mesh)
-                    else:
-                        logger.warning(
-                            "batch size %d not divisible by data*fsdp=%d; replicating",
-                            samples_per_step, n_batch_shards)
                 rng, sub = jax.random.split(rng)
                 ctx = self.mesh or _nullcontext()
                 with ctx:
@@ -243,23 +361,67 @@ class Trainer:
                 if step % a.logging_steps == 0:
                     loss = float(metrics["loss"])
                     ips = float(np.mean(ips_window[-a.logging_steps:]))
+                    reader_cost = float(np.mean(reader_window[-a.logging_steps:]))
+                    reader_pct = reader_cost * ips / max(samples_per_step, 1) * 100
                     # 'ips' keyword matches the reference TIPC protocol
-                    # (tests/test_tipc run_benchmark.sh:27-30 parses 'ips:')
-                    logger.train("step %d/%d loss: %.4f ips: %.3f samples/sec", step,
-                                 total, loss, ips)
+                    # (tests/test_tipc run_benchmark.sh:27-30 parses 'ips:');
+                    # reader_cost mirrors BenchmarkCallback telemetry
+                    # (blip2_trainer.py:125-155) — time the loop spent
+                    # BLOCKED on input after overlap, not preprocessing time
+                    logger.train(
+                        "step %d/%d loss: %.4f ips: %.3f samples/sec "
+                        "reader_cost: %.5f sec (%.1f%%)",
+                        step, total, loss, ips, reader_cost, reader_pct)
                     for cb in self.callbacks:
-                        cb(step=step, metrics={**metrics, "ips": ips})
+                        cb(step=step, metrics={**metrics, "ips": ips,
+                                               "reader_cost": reader_cost})
                 if a.save_steps and step % a.save_steps == 0:
                     self.save_checkpoint(step)
+                if a.do_eval and a.eval_steps and step % a.eval_steps == 0 \
+                        and self.eval_dataloader is not None:
+                    self._maybe_eval_and_track_best(step)
                 if getattr(self, "_preempted", False):
                     logger.warning("preemption: saving checkpoint at step %d", step)
                     self.save_checkpoint(step)
                     break
             if step >= total or getattr(self, "_preempted", False):
                 break
+        final_eval = {}
+        if a.do_eval and self.eval_dataloader is not None \
+                and not getattr(self, "_preempted", False):
+            final_eval = self.evaluate()
         self.finalize_checkpoints()
-        return {"final_step": step, **{k: float(v) for k, v in metrics.items()
-                                       if hasattr(v, "item") or np.isscalar(v)}}
+        return {"final_step": step, **final_eval,
+                **{k: float(v) for k, v in metrics.items()
+                   if hasattr(v, "item") or np.isscalar(v)}}
+
+
+def _prefetch_to_device(it, prepare, depth: int = 2):
+    """Keep ``depth`` prepared (device-resident, sharded) batches in flight.
+
+    Yields (reader_wait_seconds, batch): the wait is the time this generator
+    spent BLOCKED pulling from the host iterator — with a worker-pool
+    DataLoader upstream and put-ahead here, it converges to ~0 when
+    preprocessing is overlap-hidden (the <5% north-star clause)."""
+    import collections
+
+    buf = collections.deque()
+    stall = 0.0
+    while True:
+        while len(buf) < max(depth, 1):
+            t0 = time.time()
+            nxt = next(it, _SENTINEL)
+            stall += time.time() - t0
+            if nxt is _SENTINEL:
+                break
+            buf.append(prepare(nxt))
+        if not buf:
+            return
+        yield stall, buf.popleft()
+        stall = 0.0
+
+
+_SENTINEL = object()
 
 
 class _nullcontext:
