@@ -16,7 +16,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops import scaled_dot_product_attention
-from ...ops.activations import gelu_tanh
 from ...ops.norms import group_norm as fused_group_norm
 
 
@@ -123,7 +122,9 @@ class GEGLUFeedForward(nn.Module):
                 hg = nn.Dense(inner * 2, dtype=self.dtype,
                               dot_general=_qdg(quant), name="proj")(x)
                 h, gate = jnp.split(hg, 2, axis=-1)
-                return h * gelu_tanh(gate)
+                # exact (erf) gelu: the reference GEGLU is F.gelu default
+                # (ppdiffusers/models/activations.py:98-99), not tanh-approx
+                return h * nn.gelu(gate, approximate=False)
 
         h = _GEGLU(dtype=self.dtype, name="net_0")(x)
         return nn.Dense(d, dtype=self.dtype, dot_general=_qdg(quant), name="net_2")(h)
