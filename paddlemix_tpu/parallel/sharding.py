@@ -37,6 +37,19 @@ TRANSFORMER_RULES: Rules = (
     (r".*", P()),
 )
 
+# Diffusion (UNet/DiT) rules: attention + GEGLU projections tensor-parallel,
+# conv kernels ZeRO-sharded on the output-channel dim (the reference shards
+# the UNet only via group_sharded ZeRO; TP on the transformer blocks is the
+# TPU-native extra). Conv kernels are flax (kh, kw, in, out).
+UNET_RULES: Rules = (
+    (r".*(to_q|to_k|to_v)\.kernel$", P("fsdp", "tensor")),
+    (r".*(to_out.*|proj_attn|proj_out)\.kernel$", P("tensor", "fsdp")),
+    (r".*net_0.*proj\.kernel$", P("fsdp", "tensor")),
+    (r".*net_2\.kernel$", P("tensor", "fsdp")),
+    (r".*\.kernel$", P(None, None, None, "fsdp")),  # convs; _fit_spec trims 2-D
+    (r".*", P()),
+)
+
 
 def spec_for_path(path: str, rules: Rules) -> P:
     for pat, spec in rules:
