@@ -157,16 +157,30 @@ class LlamaAttention(nn.Module):
         if isinstance(cache, PagedKVCache):
             # paged/blocked KV cache (reference paddlenlp_ops block_attn):
             # allocation happened once at the top of the step (LlamaModule);
-            # each layer scatters into its pool blocks and attends over the
-            # gathered dense view masked by position
+            # each layer scatters into its pool blocks
             new_cache = cache.update(layer_idx, k, v, positions)
-            k_cache, v_cache = new_cache.layer_view(layer_idx)
-            L = k_cache.shape[1]
-            key_pos = jnp.arange(L)[None, None, None, :]
-            q_pos = positions[:, None, :, None]
-            mask = key_pos <= q_pos
-            attn_bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
-            out = attention_xla(q, k_cache, v_cache, bias=attn_bias)
+            from ...ops.dispatch import use_pallas
+            from ...ops.paged_attention import (paged_decode_attention,
+                                                paged_decode_supported)
+
+            bs_blk = new_cache.block_size
+            if s == 1 and use_pallas() and paged_decode_supported(
+                    cfg.num_attention_heads, cfg.kv_heads, hd, bs_blk):
+                # ragged Pallas kernel: reads ONLY the blocks each sequence
+                # owns via the block table — no dense gather in HBM
+                out = paged_decode_attention(
+                    q[:, 0], new_cache.k_pool[layer_idx],
+                    new_cache.v_pool[layer_idx], new_cache.block_tables,
+                    positions[:, 0] + 1)[:, None]
+            else:
+                # prefill / fallback: dense gathered view masked by position
+                k_cache, v_cache = new_cache.layer_view(layer_idx)
+                L = k_cache.shape[1]
+                key_pos = jnp.arange(L)[None, None, None, :]
+                q_pos = positions[:, None, :, None]
+                mask = key_pos <= q_pos
+                attn_bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
+                out = attention_xla(q, k_cache, v_cache, bias=attn_bias)
         elif cache is not None:
             # in-place update of the stacked (layers, B, L, kvh, hd) buffers:
             # scatter into the while_loop-carried arrays directly (a per-layer

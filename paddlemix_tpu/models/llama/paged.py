@@ -11,9 +11,13 @@ Everything is functional and shape-static so the whole decode loop jits:
 - allocation is a vectorized cumsum over "needs a block at this step" flags
   (no host round-trips),
 - writes scatter into (layer, block, offset) coordinates,
-- attention reads gather the sequence's blocks into a dense view that XLA
-  fuses into the masked-softmax chain (a Pallas block-table kernel can slot
-  in later without changing this interface).
+- decode attention reads through the Pallas ragged paged-attention kernel
+  (ops/paged_attention.py): the block table drives the kernel's DMA index
+  maps, so only owned blocks are read — no dense gather materializes.
+  ``layer_view`` remains as the prefill/fallback dense path.
+
+Pool layout is (layers, num_blocks, kv_heads, block_size, head_dim): one
+(block, head) tile is a contiguous HBM stretch for the kernel's DMAs.
 """
 
 from __future__ import annotations
@@ -27,7 +31,7 @@ from .configuration import LlamaConfig
 
 
 class PagedKVCache(NamedTuple):
-    k_pool: jnp.ndarray        # (layers, num_blocks, block_size, kvh, hd)
+    k_pool: jnp.ndarray        # (layers, num_blocks, kvh, block_size, hd)
     v_pool: jnp.ndarray
     block_tables: jnp.ndarray  # (B, max_blocks_per_seq) int32, -1 = unassigned
     lengths: jnp.ndarray       # (B,) tokens written per sequence
@@ -38,8 +42,8 @@ class PagedKVCache(NamedTuple):
                block_size: int = 128, max_blocks_per_seq: int = None,
                dtype=jnp.bfloat16) -> "PagedKVCache":
         max_blocks_per_seq = max_blocks_per_seq or num_blocks
-        shape = (config.num_hidden_layers, num_blocks, block_size,
-                 config.kv_heads, config.head_dim_)
+        shape = (config.num_hidden_layers, num_blocks, config.kv_heads,
+                 block_size, config.head_dim_)
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
                    jnp.full((batch, max_blocks_per_seq), -1, jnp.int32),
                    jnp.zeros((batch,), jnp.int32),
@@ -47,7 +51,7 @@ class PagedKVCache(NamedTuple):
 
     @property
     def block_size(self) -> int:
-        return self.k_pool.shape[2]
+        return self.k_pool.shape[3]
 
     @property
     def max_len(self) -> int:
@@ -87,20 +91,23 @@ class PagedKVCache(NamedTuple):
         off = jnp.where(is_pad, bs - 1, off)
         flat_blk = blk.reshape(-1)
         flat_off = off.reshape(-1)
-        kp = self.k_pool.at[layer_idx, flat_blk, flat_off].set(
-            k.reshape(b * s, *k.shape[2:]).astype(self.k_pool.dtype))
-        vp = self.v_pool.at[layer_idx, flat_blk, flat_off].set(
-            v.reshape(b * s, *v.shape[2:]).astype(self.v_pool.dtype))
+        # pool is (layers, nb, kvh, bs, hd); tokens write (kvh, hd) slabs
+        kt = k.reshape(b * s, *k.shape[2:]).astype(self.k_pool.dtype)
+        vt = v.reshape(b * s, *v.shape[2:]).astype(self.v_pool.dtype)
+        kp = self.k_pool.at[layer_idx, flat_blk, :, flat_off].set(kt)
+        vp = self.v_pool.at[layer_idx, flat_blk, :, flat_off].set(vt)
         return self._replace(k_pool=kp, v_pool=vp)
 
     def layer_view(self, layer_idx: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Dense (B, max_len, kvh, hd) gather of each sequence's blocks (XLA
-        fuses this into the attention that consumes it)."""
+        """Dense (B, max_len, kvh, hd) gather of each sequence's blocks —
+        the prefill/fallback path (decode uses the Pallas ragged kernel)."""
         b, max_blocks = self.block_tables.shape
         tables = jnp.maximum(self.block_tables, 0)
-        k = self.k_pool[layer_idx][tables]   # (B, max_blocks, bs, kvh, hd)
+        k = self.k_pool[layer_idx][tables]   # (B, max_blocks, kvh, bs, hd)
         v = self.v_pool[layer_idx][tables]
         bs = self.block_size
+        k = k.transpose(0, 1, 3, 2, 4)       # (B, max_blocks, bs, kvh, hd)
+        v = v.transpose(0, 1, 3, 2, 4)
         return (k.reshape(b, max_blocks * bs, *k.shape[3:]),
                 v.reshape(b, max_blocks * bs, *v.shape[3:]))
 

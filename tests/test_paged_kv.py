@@ -77,6 +77,63 @@ def test_paged_memory_smaller_than_dense():
     reservation: 4 seqs x 16-token pool vs 4 x 128 dense slots."""
     cache = PagedKVCache.create(TINY, batch=4, num_blocks=16, block_size=4,
                                 max_blocks_per_seq=32, dtype=jnp.float32)
-    pool_tokens = cache.k_pool.shape[1] * cache.k_pool.shape[2]
+    pool_tokens = cache.k_pool.shape[1] * cache.block_size
     assert pool_tokens == 64  # shared arena, not 4*128
     assert cache.max_len == 128  # while each sequence may still grow to 128
+
+
+def test_pallas_ragged_kernel_parity_fragmented():
+    """The Pallas ragged decode kernel (ops/paged_attention.py) matches the
+    dense gathered-view attention on a FRAGMENTED pool: sequences own
+    unordered block ids, mixed lengths, GQA heads."""
+    from paddlemix_tpu.ops.paged_attention import paged_decode_attention
+
+    rng = np.random.RandomState(1)
+    B, H, KVH, HD, BS, NBMAX, NPOOL = 2, 8, 2, 128, 128, 3, 8
+    q = jnp.asarray(rng.randn(B, H, HD), jnp.float32) * 0.4
+    k_pool = jnp.asarray(rng.randn(NPOOL, KVH, BS, HD), jnp.float32) * 0.4
+    v_pool = jnp.asarray(rng.randn(NPOOL, KVH, BS, HD), jnp.float32) * 0.4
+    bt = jnp.asarray([[6, 1, 4], [3, -1, -1]], jnp.int32)
+    lengths = jnp.asarray([290, 77], jnp.int32)
+
+    import os
+    os.environ["PMIX_PALLAS_INTERPRET"] = "1"
+    try:
+        out = np.asarray(paged_decode_attention(q, k_pool, v_pool, bt, lengths))
+    finally:
+        del os.environ["PMIX_PALLAS_INTERPRET"]
+
+    grp = H // KVH
+    for b in range(B):
+        tb = np.maximum(np.asarray(bt[b]), 0)
+        k = np.asarray(k_pool)[tb].transpose(0, 2, 1, 3).reshape(NBMAX * BS, KVH, HD)
+        v = np.asarray(v_pool)[tb].transpose(0, 2, 1, 3).reshape(NBMAX * BS, KVH, HD)
+        L = int(lengths[b])
+        for h in range(H):
+            logit = (np.asarray(q)[b, h] @ k[:L, h // grp].T) * HD ** -0.5
+            p = np.exp(logit - logit.max())
+            p /= p.sum()
+            np.testing.assert_allclose(out[b, h], p @ v[:L, h // grp],
+                                       rtol=2e-5, atol=2e-5)
+
+
+def test_paged_generate_through_kernel():
+    """End-to-end paged greedy generation routed through the Pallas kernel
+    (kernel-eligible shapes: hd=128, block_size=128) matches the dense path."""
+    import os
+
+    cfg = LlamaConfig(vocab_size=64, hidden_size=256, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=2,
+                      num_key_value_heads=2, max_position_embeddings=512,
+                      eos_token_id=2)
+    m = LlamaForCausalLM.from_config(cfg, seed=0)
+    ids = jnp.asarray([[1, 5, 9, 11], [1, 7, 3, 2]], jnp.int32)
+    dense = greedy_generate(m, ids, max_new_tokens=6)
+    os.environ["PMIX_PALLAS_INTERPRET"] = "1"
+    os.environ["PMIX_KERNEL_BACKEND"] = "pallas"
+    try:
+        paged = paged_greedy_generate(m, ids, max_new_tokens=6, block_size=128)
+    finally:
+        del os.environ["PMIX_PALLAS_INTERPRET"]
+        del os.environ["PMIX_KERNEL_BACKEND"]
+    np.testing.assert_array_equal(np.asarray(paged), np.asarray(dense))
