@@ -79,6 +79,32 @@ def _conv3x3_kernel(x_hbm, w_ref, sw_ref, o_ref, src_vmem, taps_vmem, sem, *,
     o_ref[0] = (acc.astype(jnp.float32) * scale[None, :]).astype(out_dtype)
 
 
+def _select_blocks(h, w2, c, o, block_h=None, block_o=256):
+    """Pick (bh, bo) such that the output block (bh*w2, bo) meets Mosaic's
+    (8, 128) tile alignment, divides (h, o), and fits the VMEM budget.
+    Returns None when no legal configuration exists (caller falls back)."""
+    import math
+
+    def vmem_est(bh_, bo_):
+        bhw_ = bh_ * w2
+        return (10 * bhw_ * c + (bh_ + 2) * w2 * c  # taps + src (int8)
+                + 9 * c * bo_                        # weight block (int8)
+                + bhw_ * bo_ * 6)                    # acc i32 + out bf16
+
+    # bh*w2 % 8 == 0 (sublane tile): with W%8==0, w2 ≡ 2 (mod 8) so min_bh=4
+    min_bh = 8 // math.gcd(w2, 8)
+    bhs = [bh_ for bh_ in (32, 16, 8, 4, 2, 1)
+           if bh_ % min_bh == 0 and h % bh_ == 0
+           and (block_h is None or bh_ <= block_h)]
+    bos = [bo_ for bo_ in (512, 256, 128)
+           if bo_ <= min(block_o, o) and o % bo_ == 0]
+    for bh_ in bhs:
+        for bo_ in bos:
+            if vmem_est(bh_, bo_) <= 10 << 20:
+                return bh_, bo_
+    return None
+
+
 def int8_conv3x3_same(x, w, sx, *, block_h: int | None = None,
                       block_o: int = 256):
     """3x3 stride-1 SAME conv, NHWC x (B,H,W,C) fp, w (3,3,C,O) fp, static
@@ -89,24 +115,22 @@ def int8_conv3x3_same(x, w, sx, *, block_h: int | None = None,
     o = w.shape[-1]
     w2 = wd + 2
 
-    def vmem_est(bh_, bo_):
-        bhw_ = bh_ * w2
-        return (10 * bhw_ * c + (bh_ + 2) * w2 * c  # taps + src (int8)
-                + 9 * c * bo_                        # weight block (int8)
-                + bhw_ * bo_ * 6)                    # acc i32 + out bf16
-
-    if block_h is None:
-        block_h = 16
-        while block_h > 2 and vmem_est(block_h, min(block_o, o)) > 10 << 20:
-            block_h //= 2
-    bh = min(block_h, h)
-    while h % bh:
-        bh //= 2
-    bo = min(block_o, o)
-    while o % bo:
-        bo //= 2
-    while bo > 128 and vmem_est(bh, bo) > 10 << 20:
-        bo //= 2
+    blocks = _select_blocks(h, w2, c, o, block_h, block_o)
+    if blocks is None:
+        # no aligned block configuration fits VMEM: 9 shifted int8 XLA dots
+        xq = _quantize_int8(x, sx)
+        xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        wq, sw = quantize_weight_per_cout(w)
+        acc = None
+        for tap in range(9):
+            dh, dw = divmod(tap, 3)
+            d = jax.lax.dot_general(
+                xp[:, dh:dh + h, dw:dw + wd, :], wq[dh, dw],
+                (((3,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            acc = d if acc is None else acc + d
+        return (acc.astype(jnp.float32)
+                * (sw.astype(jnp.float32) * float(sx))).astype(x.dtype)
+    bh, bo = blocks
     bhw = bh * w2
 
     src_rows = -(-((bh + 2) * w2 + 2) // 8) * 8

@@ -57,6 +57,35 @@ def test_conv3x3_block_tiling():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_block_selection_sublane_aligned():
+    """Regression: SDXL shapes have W%8==0 so w2=W+2 ≡ 2 (mod 8); the row
+    block bh*w2 must still be a multiple of 8 (Mosaic tile constraint). The
+    1024px run hit (h=64, w2=66, c=1920, o=640) where the VMEM budget drove
+    bh down to 2 -> a 132-row block that Mosaic rejects."""
+    from paddlemix_tpu.ops.conv_int8 import _select_blocks
+
+    for h, wd, c, o in [(64, 64, 1920, 640), (128, 128, 640, 640),
+                        (32, 32, 2560, 1280), (64, 64, 640, 640),
+                        (16, 16, 1280, 1280), (8, 8, 128, 128)]:
+        sel = _select_blocks(h, wd + 2, c, o)
+        assert sel is not None, (h, wd, c, o)
+        bh, bo = sel
+        assert (bh * (wd + 2)) % 8 == 0
+        assert h % bh == 0 and o % bo == 0
+
+
+def test_conv3x3_fallback_when_no_block_fits():
+    """When no aligned block configuration fits VMEM the op still computes
+    (9 shifted XLA int8 dots) and matches the reference."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 8, 128), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 128, 128), jnp.float32) * 0.1
+    sx = float(jnp.max(jnp.abs(x))) / 127.0
+    # h=2 < min_bh=4 -> no legal bh -> fallback path
+    np.testing.assert_allclose(np.asarray(int8_conv3x3_same(x, k, sx)),
+                               np.asarray(_ref_conv(x, k, sx)),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_a8w8_matmul_matches_xla_int8():
     m, k, n = 64, 256, 384
     x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.float32)
