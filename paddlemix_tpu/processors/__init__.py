@@ -1,4 +1,14 @@
 from .base import BaseImageProcessor, ProcessorMixin
+from .blip_processing import BlipImageProcessor, Blip2Processor, BlipTextProcessor
 from .clip_processing import CLIPImageProcessor, CLIPProcessor
+from .groundingdino_processing import (
+    GroundingDinoImageProcessor,
+    GroundingDinoProcessor,
+    GroundingDinoTextProcessor,
+)
+from .imagebind_processing import ImageBindAudioProcessor, ImageBindProcessor
 from .internvl_processing import InternVLImageProcessor, dynamic_preprocess
+from .minigpt4_processing import MiniGPT4Processor
 from .qwen2_vl_processing import Qwen2VLImageProcessor, Qwen2VLProcessor, smart_resize
+from .sam_processing import SamImageProcessor, SamProcessor, SamPromptProcessor
+from .visualglm_processing import VisualGLMProcessor
