@@ -7,3 +7,4 @@ from .dataset import (
     load_dataset,
 )
 from .mixtoken import IGNORE_INDEX, MixTokenMapDataset, pack_samples
+from .recipes import apply_chat_template, chatml, coco_caption, coco_clip, coco_vqa
