@@ -57,6 +57,16 @@ _PROCESSOR_REGISTRY = {
     "qwen2_vl": ("paddlemix_tpu.processors.qwen2_vl_processing", "Qwen2VLProcessor"),
     "internvl_chat": ("paddlemix_tpu.processors.internvl_processing",
                       "InternVLImageProcessor"),
+    "sam": ("paddlemix_tpu.processors.sam_processing", "SamProcessor"),
+    "groundingdino": ("paddlemix_tpu.processors.groundingdino_processing",
+                      "GroundingDinoProcessor"),
+    "blip-2": ("paddlemix_tpu.processors.blip_processing", "Blip2Processor"),
+    "minigpt4": ("paddlemix_tpu.processors.minigpt4_processing",
+                 "MiniGPT4Processor"),
+    "visualglm": ("paddlemix_tpu.processors.visualglm_processing",
+                  "VisualGLMProcessor"),
+    "imagebind": ("paddlemix_tpu.processors.imagebind_processing",
+                  "ImageBindProcessor"),
 }
 
 

@@ -137,6 +137,21 @@ class Blip2Processor(ProcessorMixin):
         self.text_processor = text_processor or BlipTextProcessor()
         self.is_t5 = is_t5
 
+    @classmethod
+    def from_pretrained(cls, path: str, **kwargs):
+        from ..utils.tokenizer import load_tokenizer
+
+        try:
+            image_processor = BlipImageProcessor.from_pretrained(path)
+        except FileNotFoundError:
+            image_processor = BlipImageProcessor()
+        try:
+            tokenizer = load_tokenizer(path)
+        except FileNotFoundError:
+            tokenizer = None
+        return cls(image_processor=image_processor, tokenizer=tokenizer,
+                   **kwargs)
+
     def __call__(self, images=None, text=None, max_length: int = 32,
                  mode: str = "train", **kwargs):
         if images is None and text is None:

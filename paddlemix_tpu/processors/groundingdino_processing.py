@@ -149,6 +149,8 @@ class GroundingDinoProcessor(ProcessorMixin):
     """images + caption -> (image_tensor, mask, tokenized_out)
     (reference GroundingDinoProcessor, groundingdino_processing.py:36-83)."""
 
+    image_processor_class = GroundingDinoImageProcessor
+
     def __init__(self, image_processor=None, text_processor=None,
                  tokenizer=None, **kw):
         super().__init__(

@@ -105,6 +105,8 @@ class ImageBindProcessor(ProcessorMixin):
     """text/images/audios -> model inputs (reference ImageBindProcessor,
     imagebind_processing.py:38-80)."""
 
+    image_processor_class = CLIPImageProcessor
+
     def __init__(self, image_processor=None, tokenizer=None,
                  audio_processor=None, **kw):
         super().__init__(

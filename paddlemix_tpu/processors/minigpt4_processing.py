@@ -26,6 +26,7 @@ DEFAULT_MINIGPT4_PROMPT = (
 
 
 class MiniGPT4Processor(ProcessorMixin):
+    image_processor_class = BlipImageProcessor
     image_tag = "<ImageHere>"
     text_tag = "<TextHere>"
 

@@ -17,6 +17,7 @@ from .blip_processing import BlipImageProcessor
 
 
 class VisualGLMProcessor(ProcessorMixin):
+    image_processor_class = BlipImageProcessor
     image_tag = "<img></img>"
 
     def __init__(self, image_processor=None, tokenizer=None,
