@@ -161,6 +161,16 @@ class OpenSetDetSamTask(AppTask):
         if image.max() > 1.5:
             image = image / 255.0
         px = jnp.asarray(image)[None]
+        if "input_ids" not in inputs and "prompt" in inputs:
+            # raw-text path: tokenize through GroundingDinoProcessor
+            from ..processors import GroundingDinoTextProcessor
+            from ..utils.tokenizer import load_tokenizer
+
+            tok = self.kwargs.get("tokenizer")
+            if tok is None and "det_path" in self.kwargs:
+                tok = load_tokenizer(self.kwargs["det_path"])
+            caption = GroundingDinoTextProcessor.pre_caption(inputs["prompt"])
+            inputs = dict(inputs, input_ids=[tok.encode(caption)])
         ids = jnp.asarray(inputs["input_ids"], jnp.int32)
         box_threshold = float(inputs.get("box_threshold", 0.3))
         boxes, scores = self.det.predict(px, ids)
