@@ -40,4 +40,12 @@ from .lvdm import (
     LVDMUNet3DConfig,
     LVDMUNet3DModel,
 )
+from .magvit2 import (
+    FSQ,
+    LFQ,
+    FrameDiscriminator,
+    VideoTokenizer,
+    hinge_d_loss,
+    hinge_g_loss,
+)
 from .stdit import STDiT2Config, STDiT2Model
