@@ -48,6 +48,7 @@ _MODEL_REGISTRY = {
                   "VisualGLMForConditionalGeneration"),
     "chatglm": ("paddlemix_tpu.models.visualglm", "ChatGLMConfig", "ChatGLMForCausalLM"),
     "cogvlm": ("paddlemix_tpu.models.cogvlm", "CogVLMConfig", "CogVLMForCausalLM"),
+    "navit": ("paddlemix_tpu.models.navit", "NaViTConfig", "NaViTModel"),
     "internlm_xcomposer2": ("paddlemix_tpu.models.internlm_xcomposer2", "IXC2Config",
                             "IXC2ForCausalLM"),
 }
