@@ -134,11 +134,17 @@ def np_prod(xs):
 
 def _int8_backend(env_name: str) -> str:
     """Per-op-family int8 backend: PMIX_INT8_CONV / PMIX_INT8_MM = pallas|xla.
-    Defaults: conv=pallas (XLA int8 convs reach only 1.35x bf16 on v5e —
-    measured, README), mm=xla until the Pallas a8w8 matmul microbenches ahead."""
+
+    Both default to xla. The Pallas int8 conv wins big in isolation
+    (slope-timed 368 vs 165 TF/s at SDXL level-0 128x128 shapes) yet LOSES
+    end-to-end: back-to-back SDXL-1024 runs measure xla 0.380 imgs/s,
+    all-pallas 0.363, pallas-only-at-128x128 0.345 (reproducible to +-0.0001
+    — the xla config re-measured 0.3801). The custom call breaks XLA's
+    surrounding elementwise/conv fusions and layout choices in the resnet
+    blocks, costing more than the kernel gains. Keep PMIX_INT8_CONV=pallas
+    available for shapes/models where the trade flips."""
     import os
-    default = "pallas" if env_name == "PMIX_INT8_CONV" else "xla"
-    return os.environ.get(env_name, default)
+    return os.environ.get(env_name, "xla")
 
 
 def _normalized_same_padding(padding, lhs_shape, rhs_shape, dn):
@@ -270,22 +276,21 @@ def static_quant_conv_general_dilated(lhs, rhs, window_strides, padding,
     sxf = _static_scale(raw)
     if sxf is not None and use_pallas() \
             and _int8_backend("PMIX_INT8_CONV") == "pallas":
-        from .conv_int8 import conv3x3_supported, int8_a8w8_matmul, \
-            int8_conv3x3_same
+        from .conv_int8 import conv3x3_supported, int8_conv3x3_same
         pad = _normalized_same_padding(padding, lhs.shape, rhs.shape, dn)
-        if pad == "same3x3" and conv3x3_supported(
+        # Measured v5e dispatch (tools/profile_convs.py, slope-timed): the
+        # Pallas conv wins only at large spatial extent — 128x128 SDXL
+        # level-0 shapes run 368/282 TF/s vs XLA int8's 165/146, but at
+        # 64x64 and 32x32 XLA int8 reaches 240-300 TF/s and the Pallas
+        # per-block overheads lose (135-185 TF/s). 1x1 convs stay on XLA
+        # int8 dots for the same reason.
+        hw = lhs.shape[dn.lhs_spec[2]] * lhs.shape[dn.lhs_spec[3]]
+        import os as _os
+        min_hw = int(_os.environ.get("PMIX_INT8_CONV_PALLAS_MIN_HW", 16384))
+        if pad == "same3x3" and hw >= min_hw and conv3x3_supported(
                 lhs.shape, rhs.shape, window_strides,
                 lhs_dilation, rhs_dilation, dn):
             return int8_conv3x3_same(lhs, rhs, sxf)
-        if pad == "valid1x1" and dn.rhs_spec == (3, 2, 0, 1) \
-                and dn.lhs_spec == (0, 3, 1, 2) \
-                and tuple(window_strides) == (1, 1):
-            kh, kw, c, o = rhs.shape
-            b, h, wd, _ = lhs.shape
-            if (b * h * wd) % 8 == 0 and c % 128 == 0 and o % 128 == 0:
-                out = int8_a8w8_matmul(lhs.reshape(-1, c),
-                                       rhs.reshape(c, o), sxf)
-                return out.reshape(b, h, wd, o)
     sx = jnp.maximum(jnp.asarray(raw, jnp.float32), 1e-6) / 127.0
     xq = jnp.clip(jnp.round(lhs.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
     o_axis = dn.rhs_spec[0]
