@@ -49,6 +49,10 @@ _MODEL_REGISTRY = {
     "chatglm": ("paddlemix_tpu.models.visualglm", "ChatGLMConfig", "ChatGLMForCausalLM"),
     "cogvlm": ("paddlemix_tpu.models.cogvlm", "CogVLMConfig", "CogVLMForCausalLM"),
     "navit": ("paddlemix_tpu.models.navit", "NaViTConfig", "NaViTModel"),
+    "hunyuan_dit": ("paddlemix_tpu.diffusers.models", "HunyuanDiTConfig",
+                    "HunyuanDiTModel"),
+    "uvit_t2i": ("paddlemix_tpu.diffusers.models.uvit_t2i", "UViTT2IConfig",
+                 "UViTT2IModel"),
     "internlm_xcomposer2": ("paddlemix_tpu.models.internlm_xcomposer2", "IXC2Config",
                             "IXC2ForCausalLM"),
 }

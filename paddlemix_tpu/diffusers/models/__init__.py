@@ -40,6 +40,12 @@ from .lvdm import (
     LVDMUNet3DConfig,
     LVDMUNet3DModel,
 )
+from .hunyuan_dit import (
+    HunyuanDiTConfig,
+    HunyuanDiTModel,
+    HunyuanDiTModule,
+    get_2d_rotary_pos_embed,
+)
 from .magvit2 import (
     FSQ,
     LFQ,
