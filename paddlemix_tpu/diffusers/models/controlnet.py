@@ -135,6 +135,15 @@ class ControlNetModel(PretrainedModel):
         ctx_dim = config.cross_attention_dim if isinstance(config.cross_attention_dim, int) \
             else config.cross_attention_dim[0]
         factor = 2 ** (len(config.conditioning_embedding_out_channels) - 1)
+        kwargs = {}
+        if config.addition_embed_type == "text_time":
+            # SDXL-flavored controlnet (InstantID): micro-conditioning embeds
+            text_dim = config.projection_class_embeddings_input_dim \
+                - 6 * config.addition_time_embed_dim
+            kwargs["added_cond_kwargs"] = {
+                "text_embeds": jnp.zeros((1, text_dim)),
+                "time_ids": jnp.zeros((1, 6)),
+            }
         return (jnp.zeros((1, s, s, config.in_channels)), jnp.asarray(0),
                 jnp.zeros((1, 8, ctx_dim)),
-                jnp.zeros((1, factor * s, factor * s, config.conditioning_channels))), {}
+                jnp.zeros((1, factor * s, factor * s, config.conditioning_channels))), kwargs
