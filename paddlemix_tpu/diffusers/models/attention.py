@@ -169,7 +169,7 @@ class BasicTransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, context=None, gligen_objs=None):
+    def __call__(self, hidden, context=None, gligen_objs=None, extra_kv=None):
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(hidden)
         if self.tome_ratio > 0.0 and not self.only_cross_attention and self.tome_grid:
             from ...ops.tome import build_tome
@@ -179,6 +179,15 @@ class BasicTransformerBlock(nn.Module):
             attn_out = CrossAttention(self.num_heads, self.head_dim, dtype=self.dtype,
                                       quant=self.quant, name="attn1")(merge(h))
             hidden = hidden + unmerge(attn_out)
+        elif extra_kv is not None:
+            # mutual self-attention (AnimateAnyone ReferenceAttentionControl
+            # "read", ppdiffusers/models/animate_anyone/
+            # mutual_self_attention.py): K/V extend over the reference
+            # features; q and all projections are the ordinary attn1 params
+            kv = jnp.concatenate([h, extra_kv.astype(h.dtype)], axis=1)
+            hidden = hidden + CrossAttention(
+                self.num_heads, self.head_dim, dtype=self.dtype, quant=self.quant,
+                name="attn1")(h, kv)
         else:
             hidden = hidden + CrossAttention(
                 self.num_heads, self.head_dim, dtype=self.dtype, quant=self.quant,
@@ -234,7 +243,7 @@ class Transformer2DModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, gligen_objs=None):
+    def __call__(self, x, context=None, gligen_objs=None, extra_kv=None):
         b, h, w, c = x.shape
         residual = x
         x = _GroupNorm32(self.groups, 1e-6, dtype=self.dtype, name="norm")(x)
@@ -254,7 +263,7 @@ class Transformer2DModel(nn.Module):
                                       attention_type=self.attention_type,
                                       dtype=self.dtype,
                                       name=f"transformer_blocks_{i}")(
-                x, context, gligen_objs=gligen_objs)
+                x, context, gligen_objs=gligen_objs, extra_kv=extra_kv)
         if self.use_linear_projection:
             x = nn.Dense(c, dtype=self.dtype, dot_general=_qdg(self.quant),
                          name="proj_out")(x)

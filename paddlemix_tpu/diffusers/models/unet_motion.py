@@ -121,7 +121,7 @@ class _MotionDownBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, context):
+    def __call__(self, x, temb, context, refs=None):
         outs = []
         for j in range(self.num_layers):
             x = ResnetBlock2D(self.out_channels, groups=self.groups,
@@ -132,7 +132,9 @@ class _MotionDownBlock(nn.Module):
                     num_layers=self.tf_layers,
                     use_linear_projection=self.use_linear_projection,
                     groups=self.groups, dtype=self.dtype,
-                    name=f"attentions_{j}")(x, context)
+                    name=f"attentions_{j}")(
+                    x, context,
+                    extra_kv=refs.pop(0) if refs else None)
             x = MotionModule(**self.motion, dtype=self.dtype,
                              name=f"motion_modules_{j}")(x)
             outs.append(x)
@@ -155,7 +157,7 @@ class _MotionUpBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, skips, temb, context):
+    def __call__(self, x, skips, temb, context, refs=None):
         for j in range(self.num_layers):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
             x = ResnetBlock2D(self.out_channels, groups=self.groups,
@@ -166,7 +168,9 @@ class _MotionUpBlock(nn.Module):
                     num_layers=self.tf_layers,
                     use_linear_projection=self.use_linear_projection,
                     groups=self.groups, dtype=self.dtype,
-                    name=f"attentions_{j}")(x, context)
+                    name=f"attentions_{j}")(
+                    x, context,
+                    extra_kv=refs.pop(0) if refs else None)
             x = MotionModule(**self.motion, dtype=self.dtype,
                              name=f"motion_modules_{j}")(x)
         if self.add_upsample:
@@ -186,7 +190,7 @@ class _MotionMidBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, context):
+    def __call__(self, x, temb, context, refs=None):
         head_dim = self.channels // self.num_heads
         x = ResnetBlock2D(self.channels, groups=self.groups, dtype=self.dtype,
                           name="resnets_0")(x, temb)
@@ -194,7 +198,8 @@ class _MotionMidBlock(nn.Module):
                                num_layers=self.tf_layers,
                                use_linear_projection=self.use_linear_projection,
                                groups=self.groups, dtype=self.dtype,
-                               name="attentions_0")(x, context)
+                               name="attentions_0")(
+            x, context, extra_kv=refs.pop(0) if refs else None)
         if self.use_motion:
             x = MotionModule(**self.motion, dtype=self.dtype,
                              name="motion_modules_0")(x)
@@ -209,7 +214,8 @@ class UNetMotionModule(nn.Module):
 
     @nn.compact
     def __call__(self, sample, timestep, encoder_hidden_states,
-                 added_cond_kwargs=None):
+                 added_cond_kwargs=None, reference_features=None,
+                 pose_cond=None):
         """sample: (B, T, H, W, C); context: (B, S, D) broadcast to frames.
         added_cond_kwargs carries SDXL text_time conditioning for the
         Hotshot-XL variant (reference pipelines/hotshot_xl: AnimateDiff-style
@@ -242,6 +248,14 @@ class UNetMotionModule(nn.Module):
         sample = nn.Conv(cfg.block_out_channels[0], (3, 3),
                          padding=((1, 1), (1, 1)), dtype=self.dtype,
                          name="conv_in")(sample)
+        if pose_cond is not None:
+            # AnimateAnyone PoseGuider feature added after conv_in
+            # (reference animate_anyone/unet_3d.py forward)
+            sample = sample + pose_cond.reshape(sample.shape).astype(sample.dtype)
+        # reference features consumed positionally in traversal order
+        # (down asc -> mid -> up asc), matching extract_reference_features
+        refs = list(reference_features) if reference_features is not None \
+            else None
         heads = cfg.heads_per_block
         tf_layers = cfg.tf_layers_per_block
         motion = dict(num_heads=cfg.motion_num_heads, num_frames=t,
@@ -256,14 +270,14 @@ class UNetMotionModule(nn.Module):
                 ch, cfg.layers_per_block, heads[i] if cross else 0,
                 tf_layers[i], cfg.use_linear_projection, motion,
                 add_downsample=not last, groups=groups, dtype=self.dtype,
-                name=f"down_blocks_{i}")(sample, emb, ctx)
+                name=f"down_blocks_{i}")(sample, emb, ctx, refs=refs)
             skips.extend(outs)
 
         sample = _MotionMidBlock(
             cfg.block_out_channels[-1], heads[-1], tf_layers[-1],
             cfg.use_linear_projection, motion,
             use_motion=cfg.use_motion_mid_block, groups=groups,
-            dtype=self.dtype, name="mid_block")(sample, emb, ctx)
+            dtype=self.dtype, name="mid_block")(sample, emb, ctx, refs=refs)
 
         for i, block_type in enumerate(cfg.up_block_types):
             rev = list(reversed(cfg.block_out_channels))
@@ -277,7 +291,8 @@ class UNetMotionModule(nn.Module):
                 ch, n_layers, heads[jdx] if cross else 0, tf_layers[jdx],
                 cfg.use_linear_projection, motion, add_upsample=not last,
                 groups=groups, dtype=self.dtype,
-                name=f"up_blocks_{i}")(sample, list(block_skips), emb, ctx)
+                name=f"up_blocks_{i}")(sample, list(block_skips), emb, ctx,
+                                       refs=refs)
 
         sample = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=self.dtype,
                               name="conv_norm_out")(sample)
