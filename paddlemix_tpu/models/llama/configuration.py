@@ -34,6 +34,10 @@ class LlamaConfig(BaseConfig):
     # weight-only quantization of the Dense layers: None | "wint8"
     # (set via LlamaForCausalLM.quantize_(); params must hold kernel_q/scale)
     quant: Optional[str] = None
+    # fuse q/k/v and gate/up into single matmuls: fewer, larger weight
+    # streams — the decode profile shows per-tensor DMA latency gaps
+    # (slice-done waits) costing ~4 ms/token on 7B a8w8 decode
+    fused_qkv: bool = False
 
     @property
     def kv_heads(self) -> int:

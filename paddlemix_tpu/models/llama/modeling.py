@@ -138,12 +138,22 @@ class LlamaAttention(nn.Module):
         hd = cfg.head_dim_
         bias = cfg.attention_bias
         quant = getattr(cfg, "quant", None)
-        q = MXUDense(cfg.num_attention_heads * hd, use_bias=bias, dtype=self.dtype,
-                     quant=quant, name="q_proj")(x).reshape(b, s, cfg.num_attention_heads, hd)
-        k = MXUDense(cfg.kv_heads * hd, use_bias=bias, dtype=self.dtype,
-                     quant=quant, name="k_proj")(x).reshape(b, s, cfg.kv_heads, hd)
-        v = MXUDense(cfg.kv_heads * hd, use_bias=bias, dtype=self.dtype,
-                     quant=quant, name="v_proj")(x).reshape(b, s, cfg.kv_heads, hd)
+        nq = cfg.num_attention_heads * hd
+        nkv = cfg.kv_heads * hd
+        if getattr(cfg, "fused_qkv", False):
+            qkv = MXUDense(nq + 2 * nkv, use_bias=bias, dtype=self.dtype,
+                           quant=quant, name="qkv_proj")(x)
+            q, k, v = jnp.split(qkv, [nq, nq + nkv], axis=-1)
+        else:
+            q = MXUDense(nq, use_bias=bias, dtype=self.dtype,
+                         quant=quant, name="q_proj")(x)
+            k = MXUDense(nkv, use_bias=bias, dtype=self.dtype,
+                         quant=quant, name="k_proj")(x)
+            v = MXUDense(nkv, use_bias=bias, dtype=self.dtype,
+                         quant=quant, name="v_proj")(x)
+        q = q.reshape(b, s, cfg.num_attention_heads, hd)
+        k = k.reshape(b, s, cfg.kv_heads, hd)
+        v = v.reshape(b, s, cfg.kv_heads, hd)
 
         if rope_override is not None:
             cos, sin = rope_override  # e.g. Qwen2-VL M-RoPE (ops/rope.py)
@@ -243,10 +253,16 @@ class LlamaMLP(nn.Module):
     def __call__(self, x):
         cfg = self.config
         quant = getattr(cfg, "quant", None)
-        gate = MXUDense(cfg.intermediate_size, use_bias=False, dtype=self.dtype,
-                        quant=quant, name="gate_proj")(x)
-        up = MXUDense(cfg.intermediate_size, use_bias=False, dtype=self.dtype,
-                      quant=quant, name="up_proj")(x)
+        if getattr(cfg, "fused_qkv", False):
+            gate_up = MXUDense(2 * cfg.intermediate_size, use_bias=False,
+                               dtype=self.dtype, quant=quant,
+                               name="gate_up_proj")(x)
+            gate, up = jnp.split(gate_up, 2, axis=-1)
+        else:
+            gate = MXUDense(cfg.intermediate_size, use_bias=False,
+                            dtype=self.dtype, quant=quant, name="gate_proj")(x)
+            up = MXUDense(cfg.intermediate_size, use_bias=False,
+                          dtype=self.dtype, quant=quant, name="up_proj")(x)
         return MXUDense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
                         quant=quant, name="down_proj")(nn.silu(gate) * up)
 
@@ -350,6 +366,33 @@ class LlamaForCausalLM(PretrainedModel):
     @classmethod
     def example_inputs(cls, config):
         return (jnp.zeros((1, 4), jnp.int32),), {}
+
+    @classmethod
+    def convert_foreign_state_dict(cls, flat, config):
+        """With config.fused_qkv, concatenate the checkpoint's separate
+        q/k/v (and gate/up) projections into the fused kernels (torch
+        layout: out-features on dim 0)."""
+        if not getattr(config, "fused_qkv", False):
+            return flat
+        import re as _re
+
+        out = dict(flat)
+        prefixes = sorted({m.group(1) for k in flat
+                           for m in [_re.match(
+                               r"(.*self_attn)\.q_proj\.weight$", k)] if m})
+        for p in prefixes:
+            parts = [out.pop(f"{p}.{n}_proj.weight") for n in "qkv"]
+            out[f"{p}.qkv_proj.weight"] = np.concatenate(
+                [np.asarray(w) for w in parts], axis=0)
+        prefixes = sorted({m.group(1) for k in flat
+                           for m in [_re.match(
+                               r"(.*mlp)\.gate_proj\.weight$", k)] if m})
+        for p in prefixes:
+            gate = np.asarray(out.pop(f"{p}.gate_proj.weight"))
+            up = np.asarray(out.pop(f"{p}.up_proj.weight"))
+            out[f"{p}.gate_up_proj.weight"] = np.concatenate([gate, up],
+                                                             axis=0)
+        return out
 
     def init_cache(self, batch: int, max_len: int, dtype=None):
         return KVCache.create(self.config, batch, max_len,
