@@ -501,6 +501,59 @@ def flash_attention(
     return jnp.swapaxes(o, 1, 2)
 
 
+def flash_attention_with_lse(
+    q, k, v, *, segment_ids: Optional[SegmentIds] = None,
+    scale: Optional[float] = None, causal: bool = False,
+    block_q: int = 1024, block_k: int = 2048,
+    mask_value: float = DEFAULT_MASK_VALUE,
+):
+    """Flash attention returning (o, lse) with lse in BASE-2, (B, S, H) fp32.
+
+    The building block for ring attention: per-shard partial results merge
+    across ring steps via logsumexp weights. Same padding rules as
+    flash_attention."""
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    scale = (d ** -0.5) if scale is None else scale
+    if q.dtype == jnp.float32:
+        block_q = min(block_q, 1024)
+        block_k = min(block_k, 1024)
+    if d > 256:
+        block_q = min(block_q, 512)
+        block_k = min(block_k, 1024)
+    block_q = min(block_q, max(128, sq))
+    block_k = min(block_k, max(128, skv))
+    while sq % block_q and block_q > 128:
+        block_q //= 2
+    while skv % block_k and block_k > 128:
+        block_k //= 2
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    if d != 64 and d % 128 != 0:
+        qt, _ = _pad_to(qt, 3, LANES)
+        kt, _ = _pad_to(kt, 3, LANES)
+        vt, _ = _pad_to(vt, 3, LANES)
+    need_kv_pad = skv % block_k != 0
+    if need_kv_pad or segment_ids is not None:
+        if segment_ids is None:
+            seg_q = jnp.ones((b, sq), jnp.int32)
+            seg_kv = jnp.ones((b, skv), jnp.int32)
+        else:
+            seg_q, seg_kv = segment_ids.q, segment_ids.kv
+        seg_q, _ = _pad_to(seg_q.astype(jnp.int32) + 1, 1, block_q)
+        seg_kv, _ = _pad_to(seg_kv.astype(jnp.int32) + 1, 1, block_k)
+        segment_ids = SegmentIds(seg_q, seg_kv)
+    qt, _ = _pad_to(qt, 2, block_q)
+    kt, _ = _pad_to(kt, 2, block_k)
+    vt, _ = _pad_to(vt, 2, block_k)
+    o, lse = _flash_fwd(qt, kt, vt, segment_ids, scale, causal, block_q,
+                        block_k, mask_value, want_lse=True)
+    o = jnp.swapaxes(o[:, :, :sq, :d], 1, 2)
+    lse = jnp.swapaxes(lse[:, :, :sq, 0], 1, 2)  # (B, Sq, Hq)
+    return o, lse
+
+
 def scaled_dot_product_attention(
     q, k, v, *, bias=None, causal=False, segment_ids: Optional[SegmentIds] = None,
     scale: Optional[float] = None, dropout_rate: float = 0.0, dropout_rng=None,
