@@ -309,9 +309,18 @@ def main():
 
         # the axon relay never persists XLA executables, so the 771-output
         # calibration program recompiles every run (~4-9 min). The scales are
-        # deterministic (seeded random weights) — cache them on disk.
+        # deterministic (seeded random weights) — cache them on disk, keyed
+        # by model identity (param-shape fingerprint) as well as shape so a
+        # config change can never reuse stale scales
+        import hashlib
+
+        shape_sig = hashlib.sha1(str(sorted(
+            (("/".join(map(str, path)), tuple(leaf.shape))
+             for path, leaf in
+             jax.tree_util.tree_flatten_with_path(unet.params)[0])
+        )).encode()).hexdigest()[:10]
         cache_f = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               f".bench_scales_sdxl_{res}_{batch}.npy")
+                               f".bench_scales_sdxl_{res}_{batch}_{shape_sig}.npy")
         if os.path.exists(cache_f):
             scales = np.load(cache_f)
             print(f"# loaded {len(scales)} calibrated scales from cache",
