@@ -79,13 +79,24 @@ def main(config_path: Optional[str] = None, overrides: Optional[Dict[str, Any]] 
         logger.info("MixToken packing: %d packed rows", len(dataset))
 
     ta_fields = {f.name for f in dataclasses.fields(TrainingArguments)}
+    unknown = {k for k in cfg if k not in ta_fields and k not in (
+        "model_name_or_path", "dataset_path", "max_length", "mixtoken",
+        "pad_token_id", "lora", "lora_r", "lora_rank", "lora_alpha",
+        "freeze", "freeze_include", "freeze_exclude", "warmup_ratio",
+        "benchmark", "per_device_train_batch_size")}
+    if unknown:
+        logger.warning("ignoring unknown config keys: %s", sorted(unknown))
     args = TrainingArguments.from_dict({k: v for k, v in cfg.items() if k in ta_fields})
+    if cfg.get("warmup_ratio") and not cfg.get("warmup_steps"):
+        # resolved against max_steps when known; else a sane default horizon
+        horizon = args.max_steps if getattr(args, "max_steps", 0) else 1000
+        args.warmup_steps = int(float(cfg["warmup_ratio"]) * horizon)
     loader = DataLoader(dataset, batch_size=int(cfg.get("per_device_train_batch_size", 8)),
                         collate_fn=pad_collate, shuffle=True, seed=args.seed)
 
     loss_fn = default_lm_loss(model)
     if cfg.get("lora"):
-        lcfg = LoraConfig(r=int(cfg.get("lora_r", 8)),
+        lcfg = LoraConfig(r=int(cfg.get("lora_r", cfg.get("lora_rank", 8))),
                           lora_alpha=int(cfg.get("lora_alpha", 16)))
         lora = lora_init(model.params, lcfg, jax.random.PRNGKey(args.seed))
         trainer = Trainer(params=lora, args=args,
