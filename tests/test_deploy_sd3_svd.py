@@ -96,3 +96,52 @@ def test_svd_export(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(os.path.join(out, "unet_step.jaxexport"))
     assert os.path.exists(os.path.join(out, "vae_decode.jaxexport"))
+
+
+def test_sd15_and_controlnet_export(tmp_path):
+    from paddlemix_tpu.diffusers.models import (
+        AutoencoderKL,
+        AutoencoderKLConfig,
+        ControlNetConfig,
+        ControlNetModel,
+        UNet2DConditionConfig,
+        UNet2DConditionModel,
+    )
+
+    kw = dict(sample_size=8, block_out_channels=(32, 32),
+              down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+              up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+              layers_per_block=1, cross_attention_dim=16,
+              attention_head_dim=2, norm_num_groups=8)
+    UNet2DConditionModel.from_config(
+        UNet2DConditionConfig.from_dict(kw)).save_pretrained(
+        str(tmp_path / "ckpt" / "unet"))
+    AutoencoderKL.from_config(AutoencoderKLConfig(
+        in_channels=3, out_channels=3, latent_channels=4,
+        block_out_channels=(32,), layers_per_block=1,
+        down_block_types=("DownEncoderBlock2D",),
+        up_block_types=("UpDecoderBlock2D",))).save_pretrained(
+        str(tmp_path / "ckpt" / "vae"))
+    ControlNetModel.from_config(ControlNetConfig.from_dict(
+        dict(kw, conditioning_embedding_out_channels=(8, 8, 8, 8)))
+    ).save_pretrained(str(tmp_path / "cn"))
+
+    out = str(tmp_path / "sd15_export")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "deploy/sd15/export_model.py"),
+         "--model-path", str(tmp_path / "ckpt"), "--output", out,
+         "--height", "16", "--width", "16", "--text-len", "8"],
+        capture_output=True, text=True, env=ENV, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(out, "unet_step.jaxexport"))
+
+    out2 = str(tmp_path / "cn_export")
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "deploy/controlnet/export_model.py"),
+         "--model-path", str(tmp_path / "ckpt"),
+         "--controlnet-path", str(tmp_path / "cn"), "--output", out2,
+         "--height", "16", "--width", "16", "--text-len", "8"],
+        capture_output=True, text=True, env=ENV, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(out2, "cn_unet_step.jaxexport"))
