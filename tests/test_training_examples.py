@@ -94,3 +94,35 @@ def test_controlnet_training_loss():
              "conditioning": jnp.ones((1, 64, 64, 3))}
     loss, total = _grad_total(loss_fn, cn.params, batch)
     assert np.isfinite(loss) and total > 0
+
+
+def test_textual_inversion_example(tmp_path):
+    """examples/train_textual_inversion.py trains a vector and the saved
+    learned_embeds file loads through load_textual_inversion."""
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "learned.safetensors")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/examples/train_textual_inversion.py",
+         "--steps", "3", "--resolution", "32", "--output", out],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "loss=" in r.stdout and os.path.exists(out)
+
+    from paddlemix_tpu.diffusers import DDPMScheduler, StableDiffusionPipeline
+    from paddlemix_tpu.diffusers.loaders import load_textual_inversion
+    from tests.test_pipelines import (
+        tiny_text_encoder,
+        tiny_tokenizer,
+        tiny_unet,
+        tiny_vae,
+    )
+
+    tok = tiny_tokenizer()
+    pipe = StableDiffusionPipeline(
+        vae=tiny_vae(), text_encoder=tiny_text_encoder(tok), tokenizer=tok,
+        unet=tiny_unet(), scheduler=DDPMScheduler())
+    load_textual_inversion(pipe, out, token="<concept>")
