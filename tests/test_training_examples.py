@@ -126,3 +126,18 @@ def test_textual_inversion_example(tmp_path):
         vae=tiny_vae(), text_encoder=tiny_text_encoder(tok), tokenizer=tok,
         unet=tiny_unet(), scheduler=DDPMScheduler())
     load_textual_inversion(pipe, out, token="<concept>")
+
+
+def test_ip_adapter_training_example():
+    """Only to_k_ip/to_v_ip (+ the projection head) receive updates."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/examples/train_ip_adapter.py",
+         "--steps", "3", "--resolution", "16"],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "frozen weights changed: 0" in r.stdout
