@@ -7,3 +7,4 @@ from .fid_clip_score import (
     compute_fid_clip_score,
     frechet_distance,
 )
+from .keypoint_score import compute_oks, keypoint_ap
