@@ -141,3 +141,17 @@ def test_ip_adapter_training_example():
         capture_output=True, text=True, env=env, timeout=420)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "frozen weights changed: 0" in r.stdout
+
+
+def test_opensora_stdit_training_example():
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/examples/train_opensora_stdit.py",
+         "--steps", "3", "--frames", "2", "--hidden", "32", "--heads", "2"],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "loss=" in r.stdout
