@@ -155,3 +155,62 @@ def test_opensora_stdit_training_example():
         capture_output=True, text=True, env=env, timeout=420)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "loss=" in r.stdout
+
+
+def test_unconditional_training_example(tmp_path):
+    """examples/train_unconditional.py saves a loadable DDPMPipeline."""
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "ddpm_out")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/examples/train_unconditional.py",
+         "--steps", "3", "--batch", "2", "--resolution", "16",
+         "--output", out],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "loss=" in r.stdout and os.path.isdir(out)
+
+    from paddlemix_tpu.diffusers import DiffusionPipeline
+    pipe = DiffusionPipeline.from_pretrained(out)
+    imgs = pipe(batch_size=1, num_inference_steps=2, output_type="np")[0]
+    assert imgs.shape[0] == 1
+
+
+def test_autoencoder_kl_training_example(tmp_path):
+    """VAE rec+KL (+GAN after disc-start) example trains and saves."""
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "vae_out")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/examples/train_autoencoder_kl.py",
+         "--steps", "4", "--batch", "2", "--resolution", "32",
+         "--disc-start", "2", "--output", out],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "rec=" in r.stdout and "saved vae" in r.stdout
+    # the adversarial term must be live after disc-start
+    last = [ln for ln in r.stdout.splitlines() if "d=" in ln][-1]
+    assert "d=0.0000" not in last
+
+
+def test_t2i_adapter_training_example(tmp_path):
+    """Adapter-only gradients against a frozen UNet; loss falls and saves."""
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "adapter_out")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/examples/train_t2i_adapter.py",
+         "--steps", "3", "--batch", "2", "--resolution", "64",
+         "--output", out],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "loss=" in r.stdout and "saved adapter" in r.stdout
