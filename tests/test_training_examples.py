@@ -199,6 +199,72 @@ def test_autoencoder_kl_training_example(tmp_path):
     assert "d=0.0000" not in last
 
 
+def test_svd_training_example(tmp_path):
+    """EDM-preconditioned image-to-video fine-tune runs and saves."""
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "svd_out")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/examples/train_image_to_video_svd.py",
+         "--steps", "3", "--frames", "2", "--latent-size", "8",
+         "--output", out],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "loss=" in r.stdout and "saved svd unet" in r.stdout
+
+
+def test_kandinsky_prior_training_example(tmp_path):
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "prior_out")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/examples/train_kandinsky22.py",
+         "--component", "prior", "--steps", "3", "--output", out],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "saved prior" in r.stdout
+
+    from paddlemix_tpu.diffusers.models import PriorTransformer
+    PriorTransformer.from_pretrained(out)
+
+
+def test_kandinsky_decoder_training_example(tmp_path):
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "dec_out")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/examples/train_kandinsky22.py",
+         "--component", "decoder", "--steps", "3", "--batch", "2",
+         "--latent-size", "8", "--output", out],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "saved decoder unet" in r.stdout
+
+
+def test_lvdm_text2video_training_example(tmp_path):
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "lvdm_out")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/examples/train_lvdm_text2video.py",
+         "--steps", "3", "--frames", "2", "--output", out],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "loss=" in r.stdout and "saved lvdm unet" in r.stdout
+
+
 def test_t2i_adapter_training_example(tmp_path):
     """Adapter-only gradients against a frozen UNet; loss falls and saves."""
     import os
