@@ -353,3 +353,29 @@ class AudioGenerationTask(AppTask):
                                         "batch_size")})
         return {"result": out[-1] if isinstance(out, tuple) and len(out) > 1
                 else out[0]}
+
+
+@register_task("clip_interrogate")
+class ClipInterrogateTask(AppTask):
+    """Image -> generation-ready prompt (reference
+    ppdiffusers/examples/clip_interrogator). model = (clip_model,
+    clip_processor) or an Interrogator; optional caption_fn kwarg."""
+
+    def _construct(self):
+        from .clip_interrogator import Interrogator
+
+        if isinstance(self.model, Interrogator):
+            self.interrogator = self.model
+        else:
+            clip_model, processor = self.model
+            self.interrogator = Interrogator(
+                clip_model, processor,
+                caption_fn=self.kwargs.get("caption_fn"),
+                data_path=self.kwargs.get("data_path"))
+
+    def _run_model(self, inputs):
+        mode = inputs.get("mode", "fast")
+        fn = (self.interrogator.interrogate_classic if mode == "classic"
+              else self.interrogator.interrogate_fast)
+        return {"result": fn(inputs["image"],
+                             max_flavors=inputs.get("max_flavors", 3))}

@@ -197,3 +197,49 @@ def test_instruct_edit_app():
     out = app(prompt="make it snow", image=np.zeros((32, 32, 3), np.float32),
               num_inference_steps=2)
     assert np.isfinite(np.asarray(out["result"])).all()
+
+
+def test_clip_interrogator_app(tmp_path):
+    """clip_interrogate builds a prompt = caption + ranked bank terms, and
+    data_path term banks override the built-ins."""
+    from paddlemix_tpu.models.clip import CLIPConfig, CLIPModel
+    from paddlemix_tpu.processors.clip_processing import (
+        CLIPImageProcessor,
+        CLIPProcessor,
+    )
+    from test_pipelines import tiny_tokenizer
+
+    tok = tiny_tokenizer(max_len=16)
+    cfg = CLIPConfig.from_dict(dict(
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=1, num_attention_heads=2,
+                           image_size=32, patch_size=16),
+        text_config=dict(vocab_size=tok.vocab_size, hidden_size=32,
+                         intermediate_size=64, num_hidden_layers=1,
+                         num_attention_heads=2, max_position_embeddings=16,
+                         eos_token_id=tok.eos_token_id),
+        projection_dim=16))
+    clip = CLIPModel.from_config(cfg)
+    proc = CLIPProcessor(image_processor=CLIPImageProcessor(size=32, crop_size=32),
+                         tokenizer=tok)
+    img = (np.random.RandomState(0).rand(40, 40, 3) * 255).astype(np.uint8)
+
+    app = Appflow(app="clip_interrogate", models=[(clip, proc)],
+                  caption_fn=lambda image: "a test image.")
+    fast = app(image=img, mode="fast", max_flavors=2)["result"]
+    assert fast.startswith("a test image")
+    assert len(fast.split(", ")) == 3  # caption + 2 flavors
+
+    classic = app(image=img, mode="classic")["result"]
+    assert classic.startswith("a test image, ")
+
+    # custom banks via data_path (uneven sizes exercise chunk padding)
+    for name, terms in [("mediums", ["medium-x"]), ("artists", ["artist-y"]),
+                        ("movements", ["movement-z"]), ("trends", ["trend-w"]),
+                        ("flavors", ["flavor-a", "flavor-b", "flavor-c"])]:
+        (tmp_path / f"{name}.txt").write_text("\n".join(terms))
+    app2 = Appflow(app="clip_interrogate", models=[(clip, proc)],
+                   data_path=str(tmp_path))
+    out = app2(image=img, mode="classic", max_flavors=1)["result"]
+    assert "medium-x artist-y" in out and "trend-w" in out
+    assert "movement-z" in out and "flavor-" in out
