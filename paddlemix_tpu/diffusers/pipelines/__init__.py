@@ -34,6 +34,7 @@ from .unidiffuser import (
 )
 from .dance_diffusion import DanceDiffusionPipeline
 from .musicldm import MusicLDMPipeline
+from .hunyuan_dit import HunyuanDiTPipeline
 from .pixart_alpha import PixArtAlphaPipeline
 from .shap_e import ShapEPipeline, ShapEPrior, ShapEPriorConfig, ShapERenderer, ShapERendererConfig
 from .kandinsky3 import Kandinsky3Pipeline

@@ -77,3 +77,29 @@ def test_save_load_roundtrip(tmp_path):
     args = inputs(b=1)
     np.testing.assert_allclose(np.asarray(model(*args)),
                                np.asarray(again(*args)), atol=1e-6)
+
+
+def test_hunyuan_dit_pipeline():
+    """Dual-stream t2i sampling end to end (reference hydit sample_t2i)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pipelines import tiny_text_encoder, tiny_tokenizer, tiny_vae
+
+    from paddlemix_tpu.diffusers import DDIMScheduler
+    from paddlemix_tpu.diffusers.pipelines import HunyuanDiTPipeline
+    from paddlemix_tpu.models.t5 import T5Config, T5EncoderModel
+
+    tok = tiny_tokenizer()
+    clip_enc = tiny_text_encoder(tok, dim=16)
+    t5 = T5EncoderModel.from_config(T5Config(
+        vocab_size=tok.vocab_size, d_model=24, d_kv=8, d_ff=32, num_layers=1,
+        num_heads=2))
+    tf = HunyuanDiTModel.from_config(CFG)
+    pipe = HunyuanDiTPipeline(
+        tokenizer=tok, text_encoder=clip_enc, tokenizer_t5=tok,
+        text_encoder_t5=t5, vae=tiny_vae(), transformer=tf,
+        scheduler=DDIMScheduler())
+    img = pipe("a pavilion by the lake", num_inference_steps=2,
+               output_type="np")[0]
+    assert img.shape == (1, 16, 16, 3)
+    assert np.isfinite(img).all()
