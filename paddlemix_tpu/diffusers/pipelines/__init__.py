@@ -5,6 +5,16 @@ from .pipeline_utils import (
 )
 from .stable_diffusion import StableDiffusionPipeline, StableDiffusionXLPipeline
 from .stable_diffusion_3 import DiTPipeline, StableDiffusion3Pipeline
+from .community import (
+    CLIPGuidedStableDiffusionPipeline,
+    StableDiffusionHiresFixPipeline,
+    StableDiffusionLongPromptPipeline,
+    StableDiffusionWalkPipeline,
+    get_weighted_text_embeddings,
+    merge_checkpoints,
+    parse_prompt_attention,
+    slerp,
+)
 from .stable_diffusion_img2img import (
     StableDiffusionImg2ImgPipeline,
     StableDiffusionInpaintPipeline,

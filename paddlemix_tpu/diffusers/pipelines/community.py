@@ -1,0 +1,395 @@
+"""Community pipelines (reference ppdiffusers/examples/community/):
+
+- long-prompt-weighting SD (lpw_stable_diffusion.py): ``(word:1.3)`` /
+  ``[word]`` attention syntax, >77-token prompts via chunked encoding,
+  mean-preserving embedding reweighting.
+- hires-fix SD (stable_diffusion_hires_fix.py): low-res denoise, latent
+  upscale, strength-gated second pass.
+- checkpoint merger (checkpoint_merger.py): weighted / add-difference
+  merges over param pytrees.
+- prompt/latent interpolation walks (interpolate_stable_diffusion.py):
+  slerp between seeds/embeddings.
+- CLIP-guided SD (clip_guided_stable_diffusion.py): per-step gradient of
+  CLIP similarity wrt latents — jax.grad makes the guidance term exact.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pipeline_utils import register_pipeline
+from .stable_diffusion import StableDiffusionPipeline
+
+# ---------------------------------------------------------------- LPW parse
+_ATTN_RE = re.compile(
+    r"\\\(|\\\)|\\\[|\\]|\\\\|\\|\(|\[|:([+-]?[.\d]+)\)|\)|]|[^\\()\[\]:]+|:",
+    re.X)
+
+
+def parse_prompt_attention(text: str):
+    """``(abc)`` -> x1.1, ``(abc:1.5)`` -> x1.5, ``[abc]`` -> /1.1,
+    ``\\(`` etc. literal (reference lpw_stable_diffusion.py
+    parse_prompt_attention)."""
+    res: List[List] = []
+    round_brackets: List[int] = []
+    square_brackets: List[int] = []
+
+    def multiply_range(start, mult):
+        for p in range(start, len(res)):
+            res[p][1] *= mult
+
+    for m in _ATTN_RE.finditer(text):
+        tok = m.group(0)
+        weight = m.group(1)
+        if tok.startswith("\\"):
+            res.append([tok[1:], 1.0])
+        elif tok == "(":
+            round_brackets.append(len(res))
+        elif tok == "[":
+            square_brackets.append(len(res))
+        elif weight is not None and round_brackets:
+            multiply_range(round_brackets.pop(), float(weight))
+        elif tok == ")" and round_brackets:
+            multiply_range(round_brackets.pop(), 1.1)
+        elif tok == "]" and square_brackets:
+            multiply_range(square_brackets.pop(), 1 / 1.1)
+        else:
+            res.append([tok, 1.0])
+    for pos in round_brackets:
+        multiply_range(pos, 1.1)
+    for pos in square_brackets:
+        multiply_range(pos, 1 / 1.1)
+    if not res:
+        res = [["", 1.0]]
+    # merge runs with identical weight
+    i = 0
+    while i + 1 < len(res):
+        if res[i][1] == res[i + 1][1]:
+            res[i][0] += res[i + 1][0]
+            del res[i + 1]
+        else:
+            i += 1
+    return res
+
+
+def get_weighted_text_embeddings(tokenizer, text_encoder, prompt,
+                                 max_embeddings_multiples: int = 3):
+    """Chunked weighted embeddings (reference get_weighted_text_embeddings):
+    per-token weights from the attention grammar, N chunks of
+    (model_max_length-2) tokens each bos/eos-wrapped and encoded separately,
+    embeddings scaled by weight then mean-restored."""
+    if isinstance(prompt, str):
+        prompt = [prompt]
+    chunk = tokenizer.model_max_length
+    cap = (chunk - 2) * max_embeddings_multiples
+
+    all_tokens, all_weights = [], []
+    for text in prompt:
+        toks: List[int] = []
+        wts: List[float] = []
+        for piece, w in parse_prompt_attention(text):
+            ids = tokenizer.encode(piece)
+            toks += ids
+            wts += [w] * len(ids)
+        toks, wts = toks[:cap], wts[:cap]
+        all_tokens.append(toks)
+        all_weights.append(wts)
+
+    n_chunks = max(1, max((len(t) + chunk - 3) // (chunk - 2)
+                          for t in all_tokens))
+    bos, eos, pad = (tokenizer.bos_token_id, tokenizer.eos_token_id,
+                     tokenizer.pad_token_id)
+    ids = np.full((len(prompt), n_chunks, chunk), pad, np.int32)
+    wts = np.ones((len(prompt), n_chunks, chunk), np.float32)
+    ids[:, :, 0] = bos
+    for b, (toks, w) in enumerate(zip(all_tokens, all_weights)):
+        for c in range(n_chunks):
+            seg = toks[c * (chunk - 2):(c + 1) * (chunk - 2)]
+            wseg = w[c * (chunk - 2):(c + 1) * (chunk - 2)]
+            ids[b, c, 1:1 + len(seg)] = seg
+            ids[b, c, 1 + len(seg)] = eos
+            wts[b, c, 1:1 + len(wseg)] = wseg
+
+    flat = jnp.asarray(ids.reshape(-1, chunk))
+    out = text_encoder(flat)
+    emb = (out[0] if isinstance(out, tuple) else out)
+    emb = emb.reshape(len(prompt), n_chunks * chunk, -1).astype(jnp.float32)
+    w = jnp.asarray(wts.reshape(len(prompt), n_chunks * chunk, 1))
+    prev_mean = emb.mean(axis=(-2, -1))
+    emb = emb * w
+    emb = emb * (prev_mean / emb.mean(axis=(-2, -1)))[:, None, None]
+    return emb
+
+
+@register_pipeline
+class StableDiffusionLongPromptPipeline(StableDiffusionPipeline):
+    """SD with the lpw prompt grammar and unlimited prompt length."""
+
+    max_embeddings_multiples: int = 3
+
+    def encode_prompt(self, prompt, negative_prompt=None,
+                      clip_skip: Optional[int] = None):
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        negative_prompt = negative_prompt or [""] * len(prompt)
+        if isinstance(negative_prompt, str):
+            negative_prompt = [negative_prompt] * len(prompt)
+        m = self.max_embeddings_multiples
+        cond = get_weighted_text_embeddings(self.tokenizer, self.text_encoder,
+                                            prompt, m)
+        uncond = get_weighted_text_embeddings(self.tokenizer,
+                                              self.text_encoder,
+                                              negative_prompt, m)
+        # CFG concat needs equal chunk counts
+        if cond.shape[1] != uncond.shape[1]:
+            n = max(cond.shape[1], uncond.shape[1])
+
+            def tile_to(e):
+                reps = -(-n // e.shape[1])
+                return jnp.tile(e, (1, reps, 1))[:, :n]
+
+            cond, uncond = tile_to(cond), tile_to(uncond)
+        return cond, uncond
+
+
+# ----------------------------------------------------------- merger / slerp
+def merge_checkpoints(params_list, alpha: float = 0.5,
+                      interp: str = "weighted"):
+    """Merge 2 (weighted) or 3 (add_difference) param pytrees (reference
+    checkpoint_merger.py): weighted = (1-a)*A + a*B; add_difference =
+    A + a*(B - C)."""
+    if interp == "weighted":
+        a, b = params_list
+        return jax.tree_util.tree_map(
+            lambda x, y: (1.0 - alpha) * x + alpha * y, a, b)
+    if interp == "add_difference":
+        a, b, c = params_list
+        return jax.tree_util.tree_map(
+            lambda x, y, z: x + alpha * (y - z), a, b, c)
+    raise ValueError(f"unknown interp {interp!r}")
+
+
+def slerp(t, v0, v1, dot_threshold: float = 0.9995):
+    """Spherical interpolation (reference interpolate_stable_diffusion.py)."""
+    v0f, v1f = v0.reshape(-1), v1.reshape(-1)
+    dot = jnp.sum(v0f * v1f) / (jnp.linalg.norm(v0f) * jnp.linalg.norm(v1f))
+    theta = jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+    sin_theta = jnp.sin(theta)
+    lerp = (1.0 - t) * v0 + t * v1
+    sl = (jnp.sin((1.0 - t) * theta) * v0 + jnp.sin(t * theta) * v1) \
+        / jnp.where(sin_theta == 0, 1.0, sin_theta)
+    return jnp.where(jnp.abs(dot) > dot_threshold, lerp, sl)
+
+
+@register_pipeline
+class StableDiffusionWalkPipeline(StableDiffusionPipeline):
+    """Latent/embedding walks between two prompts+seeds (reference
+    interpolate_stable_diffusion.py walk())."""
+
+    def walk(self, prompt_a: str, prompt_b: str, steps: int = 4,
+             seed_a: int = 0, seed_b: int = 1, height: int = 512,
+             width: int = 512, num_inference_steps: int = 25,
+             guidance_scale: float = 7.5, output_type: str = "np"):
+        ca, _ = self.encode_prompt([prompt_a])
+        cb, _ = self.encode_prompt([prompt_b])
+        shape = (1, height // self.vae_scale_factor,
+                 width // self.vae_scale_factor, self.unet.config.in_channels)
+        la = jax.random.normal(jax.random.PRNGKey(seed_a), shape, jnp.float32)
+        lb = jax.random.normal(jax.random.PRNGKey(seed_b), shape, jnp.float32)
+        frames = []
+        for i in range(steps):
+            t = i / max(steps - 1, 1)
+            emb = slerp(t, ca, cb)
+            lat = slerp(t, la, lb)
+            img = self.__call__(
+                prompt="", latents=lat, height=height, width=width,
+                num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale, output_type=output_type,
+                _context_override=emb)
+            frames.append(img[0])
+        return frames
+
+    # reuse the parent loop but swap the conditioning
+    def encode_prompt(self, prompt, negative_prompt=None, clip_skip=None):
+        if getattr(self, "_ctx_override", None) is not None:
+            cond = self._ctx_override
+            uncond = jnp.zeros_like(cond)
+            return cond, uncond
+        return super().encode_prompt(prompt, negative_prompt, clip_skip)
+
+    def __call__(self, *args, _context_override=None, **kwargs):
+        self._ctx_override = _context_override
+        try:
+            return super().__call__(*args, **kwargs)
+        finally:
+            self._ctx_override = None
+
+
+@register_pipeline
+class StableDiffusionHiresFixPipeline(StableDiffusionPipeline):
+    """Two-pass hires fix (reference stable_diffusion_hires_fix.py): denoise
+    at base resolution, bilinear-upscale the latents, re-noise to
+    ``hires_strength`` and run the tail of the schedule at the target size."""
+
+    def __call__(self, prompt, height: int = 768, width: int = 768,
+                 base_size: int = 512, hires_strength: float = 0.6,
+                 num_inference_steps: int = 30, guidance_scale: float = 7.5,
+                 negative_prompt=None, seed: int = 0,
+                 output_type: str = "pil", **kwargs):
+        low = super().__call__(
+            prompt, height=base_size, width=base_size,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, negative_prompt=negative_prompt,
+            seed=seed, output_type="latent")[0]
+        hi_shape = (low.shape[0], height // self.vae_scale_factor,
+                    width // self.vae_scale_factor, low.shape[-1])
+        up = jax.image.resize(low, hi_shape, method="bilinear")
+
+        do_cfg = guidance_scale > 1.0
+        cond, uncond = self.encode_prompt(prompt, negative_prompt)
+        context = jnp.concatenate([uncond, cond]) if do_cfg else cond
+        state = self.scheduler.set_timesteps(num_inference_steps)
+        t_start = max(num_inference_steps
+                      - int(num_inference_steps * hires_strength), 0)
+        noise = jax.random.normal(jax.random.PRNGKey(seed + 1), hi_shape,
+                                  jnp.float32)
+        t0 = state.timesteps[t_start].astype(jnp.int32)
+        if hasattr(state, "sigmas"):
+            latents = up + state.sigmas[t_start] * noise
+        else:
+            latents = self.scheduler.add_noise(up, noise, t0[None])
+
+        unet, scheduler = self.unet, self.scheduler
+
+        def build():
+            def denoise(params, latents, context, state, gs):
+                def body(i, carry):
+                    latents, state = carry
+                    t = state.timesteps[i]
+                    lat_in = (jnp.concatenate([latents, latents])
+                              if do_cfg else latents)
+                    lat_in = scheduler.scale_model_input(state, lat_in, i)
+                    t_in = jnp.broadcast_to(t, (lat_in.shape[0],))
+                    pred = unet.module.apply(
+                        {"params": params}, lat_in.astype(unet.dtype), t_in,
+                        context.astype(unet.dtype)).astype(jnp.float32)
+                    if do_cfg:
+                        un, co = jnp.split(pred, 2)
+                        pred = un + gs * (co - un)
+                    latents, state = scheduler.step(state, pred, i, latents)
+                    return latents, state
+
+                latents, _ = jax.lax.fori_loop(t_start, num_inference_steps,
+                                               body, (latents, state))
+                return latents
+
+            return jax.jit(denoise)
+
+        latents = self._jit.get(("hires", hi_shape, num_inference_steps,
+                                 t_start, do_cfg), build)(
+            self.unet.params, latents, context, state,
+            jnp.asarray(guidance_scale, jnp.float32))
+        if output_type == "latent":
+            return (latents,)
+        image = self._decode_latents(latents)
+        return (self.image_processor.postprocess(image, output_type),)
+
+
+@register_pipeline
+class CLIPGuidedStableDiffusionPipeline(StableDiffusionPipeline):
+    """CLIP-guided SD (reference clip_guided_stable_diffusion.py): each step
+    nudges the latents along d/d(latents) of the CLIP(image, text) cosine
+    similarity of the predicted x0 decode — exact via jax.grad."""
+
+    def set_clip(self, clip_model, clip_tokenizer):
+        self.clip_model = clip_model
+        self.clip_tokenizer = clip_tokenizer
+
+    def __call__(self, prompt, clip_prompt=None, clip_guidance_scale: float = 100.0,
+                 height: int = 512, width: int = 512,
+                 num_inference_steps: int = 25, guidance_scale: float = 7.5,
+                 negative_prompt=None, seed: int = 0,
+                 output_type: str = "pil", **kwargs):
+        do_cfg = guidance_scale > 1.0
+        cond, uncond = self.encode_prompt(prompt, negative_prompt)
+        context = jnp.concatenate([uncond, cond]) if do_cfg else cond
+        batch = cond.shape[0]
+        shape = (batch, height // self.vae_scale_factor,
+                 width // self.vae_scale_factor, self.unet.config.in_channels)
+        latents = jax.random.normal(jax.random.PRNGKey(seed), shape,
+                                    jnp.float32)
+        state = self.scheduler.set_timesteps(num_inference_steps)
+        latents = latents * self.scheduler.init_noise_sigma
+
+        ids = jnp.asarray(self.clip_tokenizer(
+            [clip_prompt or (prompt if isinstance(prompt, str) else prompt[0])]
+        )["input_ids"])
+        text_feat = self.clip_model.encode_text(ids)
+        text_feat = text_feat / jnp.linalg.norm(text_feat, axis=-1,
+                                                keepdims=True)
+        unet, scheduler, vae, clip = (self.unet, self.scheduler, self.vae,
+                                      self.clip_model)
+        vc = getattr(clip.config, "vision_config", None) or {}
+        img_size = (vc.get("image_size", 224) if isinstance(vc, dict)
+                    else getattr(vc, "image_size", 224))
+
+        alphas_bar = self.scheduler.alphas_cumprod
+
+        def build():
+            def denoise(unet_params, vae_params, clip_params, latents,
+                        context, state, gs, cgs, text_feat):
+                def clip_loss(lat, eps, t_idx):
+                    # predicted x0 from eps (DDPM parameterization)
+                    ab = alphas_bar[state.timesteps[t_idx]]
+                    x0 = (lat - jnp.sqrt(1 - ab) * eps) / jnp.sqrt(ab)
+                    img = vae.module.apply(
+                        {"params": vae_params},
+                        (x0 / vae.config.scaling_factor).astype(vae.dtype),
+                        method=vae.module.decode).astype(jnp.float32)
+                    img = jax.image.resize(
+                        img, (img.shape[0], img_size, img_size, img.shape[-1]),
+                        method="bilinear")
+                    img = (img + 1.0) / 2.0
+                    feat = clip.module.apply({"params": clip_params}, img,
+                                             method=clip.module.encode_image)
+                    feat = feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
+                    return -jnp.sum(feat * text_feat)
+
+                def body(i, carry):
+                    latents, state = carry
+                    t = state.timesteps[i]
+                    lat_in = (jnp.concatenate([latents, latents])
+                              if do_cfg else latents)
+                    lat_in = scheduler.scale_model_input(state, lat_in, i)
+                    t_in = jnp.broadcast_to(t, (lat_in.shape[0],))
+                    pred = unet.module.apply(
+                        {"params": unet_params}, lat_in.astype(unet.dtype),
+                        t_in, context.astype(unet.dtype)).astype(jnp.float32)
+                    if do_cfg:
+                        un, co = jnp.split(pred, 2)
+                        pred = un + gs * (co - un)
+                    g = jax.grad(clip_loss)(latents, pred, i)
+                    pred = pred + cgs * g
+                    latents, state = scheduler.step(state, pred, i, latents)
+                    return latents, state
+
+                out, _ = jax.lax.fori_loop(0, num_inference_steps, body,
+                                           (latents, state))
+                return out
+
+            return jax.jit(denoise)
+
+        latents = self._jit.get(("clipguided", shape, num_inference_steps,
+                                 do_cfg), build)(
+            self.unet.params, self.vae.params, self.clip_model.params,
+            latents, context, state, jnp.asarray(guidance_scale, jnp.float32),
+            jnp.asarray(clip_guidance_scale, jnp.float32), text_feat)
+        if output_type == "latent":
+            return (latents,)
+        image = self._decode_latents(latents)
+        return (self.image_processor.postprocess(image, output_type),)

@@ -1,0 +1,136 @@
+"""Community-pipeline tests (reference ppdiffusers/examples/community/)."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "tests")
+
+from paddlemix_tpu.diffusers import DDIMScheduler, DDPMScheduler
+from paddlemix_tpu.diffusers.pipelines import (
+    CLIPGuidedStableDiffusionPipeline,
+    StableDiffusionHiresFixPipeline,
+    StableDiffusionLongPromptPipeline,
+    StableDiffusionWalkPipeline,
+    get_weighted_text_embeddings,
+    merge_checkpoints,
+    parse_prompt_attention,
+    slerp,
+)
+from test_pipelines import tiny_text_encoder, tiny_tokenizer, tiny_unet, tiny_vae
+
+
+def test_parse_prompt_attention_grammar():
+    # the reference's doctest cases (lpw_stable_diffusion.py:76-95)
+    assert parse_prompt_attention("normal text") == [["normal text", 1.0]]
+    assert parse_prompt_attention("an (important) word") == [
+        ["an ", 1.0], ["important", 1.1], [" word", 1.0]]
+    assert parse_prompt_attention("(unbalanced") == [["unbalanced", 1.1]]
+    assert parse_prompt_attention(r"\(literal\]") == [["(literal]", 1.0]]
+    assert parse_prompt_attention("(unnecessary)(parens)") == [
+        ["unnecessaryparens", 1.1]]
+    out = parse_prompt_attention(
+        "a (((house:1.3)) [on] a (hill:0.5), sun, (((sky))).")
+    texts = [t for t, _ in out]
+    weights = [w for _, w in out]
+    assert texts == ["a ", "house", " ", "on", " a ", "hill", ", sun, ",
+                     "sky", "."]
+    np.testing.assert_allclose(
+        weights, [1.0, 1.573, 1.1, 1.0, 1.1, 0.55, 1.1, 1.4641, 1.1],
+        rtol=1e-9)
+
+
+def test_weighted_embeddings_chunking_and_mean():
+    tok = tiny_tokenizer(max_len=16)
+    enc = tiny_text_encoder(tok)
+    long_prompt = " ".join(["word"] * 40)  # >1 chunk of 14 payload tokens
+    emb = get_weighted_text_embeddings(tok, enc, long_prompt,
+                                       max_embeddings_multiples=3)
+    assert emb.shape[1] == 3 * 16  # three bos/eos-wrapped chunks
+    # weighting changes the embedding but preserves the mean
+    plain = get_weighted_text_embeddings(tok, enc, "a house")
+    weighted = get_weighted_text_embeddings(tok, enc, "a (house:1.5)")
+    assert not np.allclose(np.asarray(plain), np.asarray(weighted))
+    # mean restoration: the rescale holds to fp noise (means are ~0 for a
+    # random-init encoder, so compare absolutely at the embedding scale)
+    assert abs(float(plain.mean()) - float(weighted.mean())) \
+        < 1e-6 * float(np.abs(np.asarray(plain)).mean())
+
+
+def _sd_parts():
+    tok = tiny_tokenizer()
+    return dict(vae=tiny_vae(), text_encoder=tiny_text_encoder(tok),
+                tokenizer=tok, unet=tiny_unet())
+
+
+def test_long_prompt_pipeline_runs():
+    pipe = StableDiffusionLongPromptPipeline(
+        scheduler=DDPMScheduler(), **_sd_parts())
+    long_prompt = "a (majestic:1.4) castle " + " ".join(["detail"] * 30)
+    img = pipe(long_prompt, height=16, width=16, num_inference_steps=2,
+               output_type="np")[0]
+    assert img.shape == (1, 16, 16, 3) and np.isfinite(img).all()
+
+
+def test_hires_fix_pipeline():
+    pipe = StableDiffusionHiresFixPipeline(
+        scheduler=DDIMScheduler(), **_sd_parts())
+    img = pipe("a cat", height=32, width=32, base_size=16,
+               num_inference_steps=2, hires_strength=0.5,
+               output_type="np")[0]
+    assert img.shape == (1, 32, 32, 3) and np.isfinite(img).all()
+
+
+def test_walk_pipeline_slerp():
+    v0 = jnp.asarray([1.0, 0.0])
+    v1 = jnp.asarray([0.0, 1.0])
+    mid = slerp(0.5, v0, v1)
+    np.testing.assert_allclose(np.asarray(mid),
+                               [np.sin(np.pi / 4) / np.sin(np.pi / 2)] * 2,
+                               rtol=1e-5)
+    pipe = StableDiffusionWalkPipeline(scheduler=DDPMScheduler(), **_sd_parts())
+    frames = pipe.walk("a dog", "a cat", steps=2, height=16, width=16,
+                       num_inference_steps=2, output_type="np")
+    assert len(frames) == 2
+    assert frames[0].shape == (1, 16, 16, 3)
+    assert not np.allclose(frames[0], frames[1])
+
+
+def test_merge_checkpoints():
+    a = {"w": jnp.ones((2, 2)), "b": jnp.zeros(2)}
+    b = {"w": jnp.zeros((2, 2)), "b": jnp.ones(2) * 2}
+    m = merge_checkpoints([a, b], alpha=0.25)
+    np.testing.assert_allclose(np.asarray(m["w"]), 0.75)
+    np.testing.assert_allclose(np.asarray(m["b"]), 0.5)
+    c = {"w": jnp.ones((2, 2)) * 0.5, "b": jnp.zeros(2)}
+    m3 = merge_checkpoints([a, b, c], alpha=1.0, interp="add_difference")
+    np.testing.assert_allclose(np.asarray(m3["w"]), 0.5)
+
+
+def test_clip_guided_pipeline():
+    from paddlemix_tpu.models.clip import CLIPConfig, CLIPModel
+
+    tok = tiny_tokenizer()
+    clip = CLIPModel.from_config(CLIPConfig.from_dict(dict(
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=1, num_attention_heads=2,
+                           image_size=16, patch_size=8),
+        text_config=dict(vocab_size=tok.vocab_size, hidden_size=32,
+                         intermediate_size=64, num_hidden_layers=1,
+                         num_attention_heads=2, max_position_embeddings=16,
+                         eos_token_id=tok.eos_token_id),
+        projection_dim=16)))
+    pipe = CLIPGuidedStableDiffusionPipeline(
+        scheduler=DDPMScheduler(), **_sd_parts())
+    pipe.set_clip(clip, tok)
+    img = pipe("a photo of a dog", height=16, width=16,
+               num_inference_steps=2, clip_guidance_scale=50.0,
+               output_type="np")[0]
+    assert img.shape == (1, 16, 16, 3) and np.isfinite(img).all()
+    # guidance must actually move the output (same weights, zero scale)
+    img0 = pipe("a photo of a dog", height=16, width=16,
+                num_inference_steps=2, clip_guidance_scale=0.0,
+                output_type="np")[0]
+    assert not np.allclose(img, img0)
