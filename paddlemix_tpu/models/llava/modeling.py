@@ -39,6 +39,9 @@ class LlavaConfig(BaseConfig):
     mm_vision_select_layer: int = -2
     mm_vision_select_feature: str = "patch"  # drop CLS
     mm_projector_type: str = "mlp2x_gelu"
+    # "clip" (LLaVA 1.5/1.6) or "siglip" (LLaVA-NeXT-interleave,
+    # reference paddlemix/models/llava/siglip_encoder.py)
+    vision_tower_type: str = "clip"
     ignore_index: int = -100
 
     def __post_init__(self):
@@ -46,7 +49,12 @@ class LlavaConfig(BaseConfig):
         self.text_config = self.text_config or {}
 
     @property
-    def vision(self) -> CLIPVisionConfig:
+    def vision(self):
+        if self.vision_tower_type == "siglip":
+            from ..siglip import SiglipVisionConfig
+
+            return SiglipVisionConfig.from_dict(
+                dict(self.vision_config, use_head=False))
         return CLIPVisionConfig.from_dict(self.vision_config)
 
     @property
@@ -57,6 +65,8 @@ class LlavaConfig(BaseConfig):
     def num_image_tokens(self) -> int:
         v = self.vision
         n = (v.image_size // v.patch_size) ** 2
+        if self.vision_tower_type == "siglip":
+            return n  # no CLS token to drop
         return n if self.mm_vision_select_feature == "patch" else n + 1
 
 
@@ -79,19 +89,36 @@ class LlavaModule(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.vision_tower = CLIPVisionTransformer(self.config.vision, dtype=self.dtype)
+        if self.config.vision_tower_type == "siglip":
+            from ..siglip import SiglipVisionTransformer
+
+            self.vision_tower = SiglipVisionTransformer(self.config.vision,
+                                                        dtype=self.dtype)
+        else:
+            self.vision_tower = CLIPVisionTransformer(self.config.vision,
+                                                      dtype=self.dtype)
         self.multi_modal_projector = MMProjector(self.config.text.hidden_size,
                                                  self.config.mm_projector_type,
                                                  dtype=self.dtype)
         self.language_model = LlamaModule(self.config.text, dtype=self.dtype)
 
     def encode_images(self, pixel_values):
-        """(B, H, W, 3) -> (B, num_image_tokens, text_hidden)."""
+        """(B, H, W, 3) or interleaved (B, N, H, W, 3) ->
+        (B, [N*]num_image_tokens, text_hidden)."""
+        n_imgs = None
+        if pixel_values.ndim == 5:  # multi-image interleave (LLaVA-NeXT)
+            b, n_imgs = pixel_values.shape[:2]
+            pixel_values = pixel_values.reshape(b * n_imgs,
+                                                *pixel_values.shape[2:])
         _, _, hiddens = self.vision_tower(pixel_values, output_hidden_states=True)
         feats = hiddens[self.config.mm_vision_select_layer]
-        if self.config.mm_vision_select_feature == "patch":
+        if (self.config.mm_vision_select_feature == "patch"
+                and self.config.vision_tower_type != "siglip"):
             feats = feats[:, 1:]
-        return self.multi_modal_projector(feats)
+        feats = self.multi_modal_projector(feats)
+        if n_imgs is not None:
+            feats = feats.reshape(b, n_imgs * feats.shape[1], -1)
+        return feats
 
     def splice_image_features(self, input_ids, image_features):
         """Static-shape swap of image placeholder tokens for vision features."""
