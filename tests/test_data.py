@@ -97,6 +97,31 @@ def test_internvl_tiling():
     assert int(out["num_tiles"][0]) == len(tiles)
 
 
+def test_minimonkey_multiscale_tiling():
+    """Complementary second pass: its grid must not divide the first pass's
+    (reference internvl_dataset.py dynamic_preprocess2 + minimonkey demo)."""
+    from paddlemix_tpu.processors.internvl_processing import (
+        dynamic_preprocess2,
+        minimonkey_preprocess,
+    )
+
+    img = (np.random.RandomState(0).rand(300, 600, 3) * 255).astype(np.uint8)
+    t2 = dynamic_preprocess2(img, min_num=2, max_num=3, image_size=64,
+                             prior_aspect_ratio=(2, 1))
+    assert all(t.shape == (64, 64, 3) for t in t2)
+
+    tiles = minimonkey_preprocess(img, image_size=64, min_num=3, max_num=7)
+    one = dynamic_preprocess(img, 3, 7, 64, use_thumbnail=True)
+    assert len(tiles) > len(one)  # second scale adds coverage
+    assert all(t.shape == (64, 64, 3) for t in tiles)
+
+    proc = InternVLImageProcessor(image_size=64, max_num=7, pad_to_tiles=13,
+                                  multi_scale=True)
+    out = proc([img])
+    assert out["pixel_values"].shape == (1, 13, 64, 64, 3)
+    assert int(out["num_tiles"][0]) == len(tiles)
+
+
 def test_auto_classes(tmp_path):
     from paddlemix_tpu.auto import AutoConfig, AutoModel
     from paddlemix_tpu.models.llama import LlamaConfig, LlamaForCausalLM
