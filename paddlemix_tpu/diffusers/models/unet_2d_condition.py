@@ -96,7 +96,8 @@ class CrossAttnDownBlock2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, context, extra_residual=None, gligen_objs=None):
+    def __call__(self, x, temb, context, extra_residual=None, gligen_objs=None,
+                 refs=None):
         outputs = []
         head_dim = self.out_channels // self.num_heads
         for i in range(self.num_layers):
@@ -110,7 +111,8 @@ class CrossAttnDownBlock2D(nn.Module):
                                    attention_type=self.attention_type,
                                    dtype=self.dtype,
                                    name=f"attentions_{i}")(x, context,
-                                                           gligen_objs=gligen_objs)
+                                                           gligen_objs=gligen_objs,
+                                                           extra_kv=refs.pop(0) if refs else None)
             if extra_residual is not None and i == self.num_layers - 1:
                 # T2I-Adapter intrablock residual (reference unet_2d_condition
                 # down_intrablock_additional_residuals: after the last
@@ -162,7 +164,7 @@ class UNetMidBlock2DCrossAttn(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, context, gligen_objs=None):
+    def __call__(self, x, temb, context, gligen_objs=None, refs=None):
         head_dim = self.channels // self.num_heads
         x = ResnetBlock2D(self.channels, groups=self.groups, quant=self.quant,
                           dtype=self.dtype, name="resnets_0")(x, temb)
@@ -174,7 +176,8 @@ class UNetMidBlock2DCrossAttn(nn.Module):
                                attention_type=self.attention_type,
                                dtype=self.dtype,
                                name="attentions_0")(x, context,
-                                                    gligen_objs=gligen_objs)
+                                                    gligen_objs=gligen_objs,
+                                                    extra_kv=refs.pop(0) if refs else None)
         x = ResnetBlock2D(self.channels, groups=self.groups, quant=self.quant,
                           dtype=self.dtype, name="resnets_1")(x, temb)
         return x
@@ -196,7 +199,7 @@ class CrossAttnUpBlock2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, skips, temb, context, gligen_objs=None):
+    def __call__(self, x, skips, temb, context, gligen_objs=None, refs=None):
         head_dim = self.out_channels // self.num_heads
         for i in range(self.num_layers):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
@@ -210,7 +213,8 @@ class CrossAttnUpBlock2D(nn.Module):
                                    attention_type=self.attention_type,
                                    dtype=self.dtype,
                                    name=f"attentions_{i}")(x, context,
-                                                           gligen_objs=gligen_objs)
+                                                           gligen_objs=gligen_objs,
+                                                           extra_kv=refs.pop(0) if refs else None)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, quant=self.quant, dtype=self.dtype,
                            name="upsamplers_0")(x)
@@ -247,7 +251,7 @@ class UNet2DConditionModule(nn.Module):
                  down_block_additional_residuals=None,
                  mid_block_additional_residual=None,
                  down_intrablock_additional_residuals=None,
-                 gligen_objs=None):
+                 gligen_objs=None, reference_features=None):
         cfg = self.config
         groups = cfg.norm_num_groups
         if cfg.center_input_sample:
@@ -303,6 +307,11 @@ class UNet2DConditionModule(nn.Module):
         heads = cfg.heads_per_block
         tf_layers = cfg.tf_layers_per_block
         skips = [sample]
+        # reference-only attention: features consumed positionally in
+        # traversal order (down asc -> mid -> up asc), matching
+        # extract_reference_features (animate_anyone.py)
+        refs = list(reference_features) if reference_features is not None \
+            else None
         intra = down_intrablock_additional_residuals
         for i, block_type in enumerate(cfg.down_block_types):
             ch = cfg.block_out_channels[i]
@@ -317,7 +326,7 @@ class UNet2DConditionModule(nn.Module):
                     attention_type=cfg.attention_type,
                     dtype=self.dtype, name=f"down_blocks_{i}")(
                     sample, emb, encoder_hidden_states, extra_residual=extra,
-                    gligen_objs=gligen_objs)
+                    gligen_objs=gligen_objs, refs=refs)
             else:
                 sample, outs = DownBlock2D(ch, cfg.layers_per_block, add_downsample=not last,
                                            groups=groups, quant=cfg.quant, dtype=self.dtype,
@@ -335,7 +344,7 @@ class UNet2DConditionModule(nn.Module):
             quant=cfg.quant, tome_ratio=cfg.tome_ratio,
             attention_type=cfg.attention_type, dtype=self.dtype,
             name="mid_block")(sample, emb, encoder_hidden_states,
-                              gligen_objs=gligen_objs)
+                              gligen_objs=gligen_objs, refs=refs)
         if mid_block_additional_residual is not None:
             sample = sample + mid_block_additional_residual
 
@@ -356,7 +365,7 @@ class UNet2DConditionModule(nn.Module):
                     attention_type=cfg.attention_type, dtype=self.dtype,
                     name=f"up_blocks_{i}")(sample, block_skips, emb,
                                            encoder_hidden_states,
-                                           gligen_objs=gligen_objs)
+                                           gligen_objs=gligen_objs, refs=refs)
             else:
                 sample = UpBlock2D(ch, n_layers, add_upsample=not last, groups=groups,
                                    quant=cfg.quant, dtype=self.dtype,

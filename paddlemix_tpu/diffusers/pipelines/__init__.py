@@ -7,6 +7,8 @@ from .stable_diffusion import StableDiffusionPipeline, StableDiffusionXLPipeline
 from .stable_diffusion_3 import DiTPipeline, StableDiffusion3Pipeline
 from .community import (
     CLIPGuidedStableDiffusionPipeline,
+    ComposableStableDiffusionPipeline,
+    StableDiffusionReferencePipeline,
     StableDiffusionHiresFixPipeline,
     StableDiffusionLongPromptPipeline,
     StableDiffusionWalkPipeline,

@@ -393,3 +393,175 @@ class CLIPGuidedStableDiffusionPipeline(StableDiffusionPipeline):
             return (latents,)
         image = self._decode_latents(latents)
         return (self.image_processor.postprocess(image, output_type),)
+
+
+@register_pipeline
+class StableDiffusionReferencePipeline(StableDiffusionPipeline):
+    """Reference-only generation (reference
+    examples/community/reference_only.py): at every step the reference
+    image's latent, noised to the same timestep, runs through the SAME UNet
+    in a "write" pass capturing each self-attention block's pre-attn1 normed
+    hidden states; the generation pass then attends over [self ++ reference]
+    K/V (the UNet2DCondition reference_features hook)."""
+
+    def __call__(self, prompt, image=None, height: int = 512,
+                 width: int = 512, num_inference_steps: int = 25,
+                 guidance_scale: float = 7.5, negative_prompt=None,
+                 seed: int = 0, output_type: str = "pil",
+                 style_fidelity: float = 1.0, **kwargs):
+        from ..models.animate_anyone import extract_reference_features
+
+        do_cfg = guidance_scale > 1.0
+        cond, uncond = self.encode_prompt(prompt, negative_prompt)
+        context = jnp.concatenate([uncond, cond]) if do_cfg else cond
+        batch = cond.shape[0]
+        shape = (batch, height // self.vae_scale_factor,
+                 width // self.vae_scale_factor, self.unet.config.in_channels)
+        latents = jax.random.normal(jax.random.PRNGKey(seed), shape,
+                                    jnp.float32)
+        state = self.scheduler.set_timesteps(num_inference_steps)
+        latents = latents * self.scheduler.init_noise_sigma
+
+        init = jnp.asarray(self.image_processor.preprocess(image))
+        ref_lat = self.vae.encode(init.astype(self.vae.dtype)).mode() \
+            .astype(jnp.float32) * self.vae.config.scaling_factor
+        if ref_lat.shape[0] != batch:
+            ref_lat = jnp.broadcast_to(ref_lat, (batch, *ref_lat.shape[1:]))
+
+        unet, scheduler = self.unet, self.scheduler
+        n_ctx = context.shape[0]
+
+        def build():
+            def denoise(params, latents, ref_lat, context, state, gs, key):
+                def body(i, carry):
+                    latents, state, key = carry
+                    key, sub = jax.random.split(key)
+                    t = state.timesteps[i]
+                    # "write": reference latent at the same timestep
+                    noise = jax.random.normal(sub, ref_lat.shape)
+                    ref_t = scheduler.add_noise(ref_lat, noise,
+                                                t[None].astype(jnp.int32))
+                    ref_in = (jnp.concatenate([ref_t, ref_t])
+                              if do_cfg else ref_t)
+                    t_in = jnp.broadcast_to(t, (n_ctx,))
+                    _, st = unet.module.apply(
+                        {"params": params}, ref_in.astype(unet.dtype), t_in,
+                        context.astype(unet.dtype),
+                        capture_intermediates=lambda m, _:
+                            type(m).__name__ == "LayerNorm"
+                            and m.name == "norm1"
+                            and any(str(p).startswith("transformer_blocks")
+                                    for p in m.path))
+                    flat = jax.tree_util.tree_flatten_with_path(
+                        st["intermediates"])[0]
+                    named = []
+                    for keypath, value in flat:
+                        path = tuple(getattr(k, "key", str(k))
+                                     for k in keypath)
+                        if "norm1" not in path:
+                            continue
+                        named.append((tuple(p for p in path
+                                            if p != "__call__"), value))
+                    from ..models.animate_anyone import _path_sort_key
+                    named.sort(key=lambda kv: _path_sort_key(kv[0]))
+                    refs = [v[0] if isinstance(v, tuple) else v
+                            for _, v in named]
+
+                    # "read": generate attending over [self ++ ref] K/V
+                    lat_in = (jnp.concatenate([latents, latents])
+                              if do_cfg else latents)
+                    lat_in = scheduler.scale_model_input(state, lat_in, i)
+                    pred = unet.module.apply(
+                        {"params": params}, lat_in.astype(unet.dtype), t_in,
+                        context.astype(unet.dtype),
+                        reference_features=list(refs)).astype(jnp.float32)
+                    if do_cfg:
+                        un, co = jnp.split(pred, 2)
+                        pred = un + gs * (co - un)
+                    latents, state = scheduler.step(state, pred, i, latents)
+                    return latents, state, key
+
+                out, _, _ = jax.lax.fori_loop(
+                    0, num_inference_steps, body,
+                    (latents, state, jax.random.PRNGKey(seed + 1)))
+                return out
+
+            return jax.jit(denoise)
+
+        latents = self._jit.get(("refonly", shape, num_inference_steps,
+                                 do_cfg), build)(
+            self.unet.params, latents, ref_lat, context, state,
+            jnp.asarray(guidance_scale, jnp.float32),
+            jax.random.PRNGKey(seed + 1))
+        if output_type == "latent":
+            return (latents,)
+        image_out = self._decode_latents(latents)
+        return (self.image_processor.postprocess(image_out, output_type),)
+
+
+@register_pipeline
+class ComposableStableDiffusionPipeline(StableDiffusionPipeline):
+    """Composable diffusion (reference
+    examples/community/composable_stable_diffusion.py): '|'-separated
+    sub-prompts each get their own noise prediction; guidance combines the
+    weighted sum against the unconditional score. All sub-prompts run in ONE
+    batched UNet call (the reference loops and chunks)."""
+
+    def __call__(self, prompt, weights: str = "", height: int = 512,
+                 width: int = 512, num_inference_steps: int = 25,
+                 guidance_scale: float = 7.5, negative_prompt=None,
+                 seed: int = 0, output_type: str = "pil", **kwargs):
+        prompts = ([x.strip() for x in prompt.split("|")]
+                   if isinstance(prompt, str) else list(prompt))
+        n = len(prompts)
+        if weights:
+            w = [float(x.strip()) for x in weights.split("|")]
+            assert len(w) == n, "one weight per '|'-separated prompt"
+            pos_w = jnp.asarray(w, jnp.float32)
+        else:
+            pos_w = jnp.full((n,), 1.0 / n, jnp.float32)
+
+        cond, uncond = self.encode_prompt(prompts,
+                                          [negative_prompt or ""] * n)
+        context = jnp.concatenate([uncond[:1], cond])  # 1 uncond + n conds
+
+        shape = (1, height // self.vae_scale_factor,
+                 width // self.vae_scale_factor, self.unet.config.in_channels)
+        latents = jax.random.normal(jax.random.PRNGKey(seed), shape,
+                                    jnp.float32)
+        state = self.scheduler.set_timesteps(num_inference_steps)
+        latents = latents * self.scheduler.init_noise_sigma
+        unet, scheduler = self.unet, self.scheduler
+
+        def build():
+            def denoise(params, latents, context, state, gs, pos_w):
+                def body(i, carry):
+                    latents, state = carry
+                    t = state.timesteps[i]
+                    lat_in = jnp.broadcast_to(latents,
+                                              (n + 1, *latents.shape[1:]))
+                    lat_in = scheduler.scale_model_input(state, lat_in, i)
+                    t_in = jnp.broadcast_to(t, (n + 1,))
+                    preds = unet.module.apply(
+                        {"params": params}, lat_in.astype(unet.dtype), t_in,
+                        context.astype(unet.dtype)).astype(jnp.float32)
+                    eps_un = preds[:1]
+                    eps_pos = jnp.einsum("n,nhwc->hwc", pos_w, preds[1:])[None]
+                    pred = eps_un + gs * (eps_pos - eps_un)
+                    latents, state = scheduler.step(state, pred, i, latents)
+                    return latents, state
+
+                out, _ = jax.lax.fori_loop(0, num_inference_steps, body,
+                                           (latents, state))
+                return out
+
+            return jax.jit(denoise)
+
+        latents = self._jit.get(("composable", shape, n,
+                                 num_inference_steps), build)(
+            self.unet.params, latents, context, state,
+            jnp.asarray(guidance_scale, jnp.float32), pos_w)
+        if output_type == "latent":
+            return (latents,)
+        image = self._decode_latents(latents)
+        return (self.image_processor.postprocess(image, output_type),)

@@ -134,3 +134,39 @@ def test_clip_guided_pipeline():
                 num_inference_steps=2, clip_guidance_scale=0.0,
                 output_type="np")[0]
     assert not np.allclose(img, img0)
+
+
+def test_composable_pipeline():
+    from paddlemix_tpu.diffusers.pipelines import (
+        ComposableStableDiffusionPipeline,
+    )
+
+    pipe = ComposableStableDiffusionPipeline(
+        scheduler=DDPMScheduler(), **_sd_parts())
+    img = pipe("a red cube | a blue sphere", weights="0.7 | 0.3",
+               height=16, width=16, num_inference_steps=2,
+               output_type="np")[0]
+    assert img.shape == (1, 16, 16, 3) and np.isfinite(img).all()
+    # composition differs from the single-prompt result
+    one = pipe("a red cube", height=16, width=16, num_inference_steps=2,
+               output_type="np")[0]
+    assert not np.allclose(img, one)
+
+
+def test_reference_only_pipeline():
+    from paddlemix_tpu.diffusers.pipelines import (
+        StableDiffusionReferencePipeline,
+    )
+
+    parts = _sd_parts()
+    pipe = StableDiffusionReferencePipeline(
+        scheduler=DDPMScheduler(), **parts)
+    ref_a = (np.random.RandomState(0).rand(16, 16, 3) * 255).astype(np.uint8)
+    ref_b = (np.random.RandomState(9).rand(16, 16, 3) * 255).astype(np.uint8)
+    img_a = pipe("a portrait", image=ref_a, height=16, width=16,
+                 num_inference_steps=2, output_type="np")[0]
+    assert img_a.shape == (1, 16, 16, 3) and np.isfinite(img_a).all()
+    # a different reference image must change the generation
+    img_b = pipe("a portrait", image=ref_b, height=16, width=16,
+                 num_inference_steps=2, output_type="np")[0]
+    assert not np.allclose(img_a, img_b)
