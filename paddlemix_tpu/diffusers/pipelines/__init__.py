@@ -8,7 +8,11 @@ from .stable_diffusion_3 import DiTPipeline, StableDiffusion3Pipeline
 from .community import (
     CLIPGuidedStableDiffusionPipeline,
     ComposableStableDiffusionPipeline,
+    StableDiffusionMegaPipeline,
     StableDiffusionReferencePipeline,
+    StableDiffusionTilingPipeline,
+    WildcardStableDiffusionPipeline,
+    replace_prompt_with_wildcards,
     StableDiffusionHiresFixPipeline,
     StableDiffusionLongPromptPipeline,
     StableDiffusionWalkPipeline,

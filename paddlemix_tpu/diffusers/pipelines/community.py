@@ -565,3 +565,177 @@ class ComposableStableDiffusionPipeline(StableDiffusionPipeline):
             return (latents,)
         image = self._decode_latents(latents)
         return (self.image_processor.postprocess(image, output_type),)
+
+
+# ----------------------------------------------------------------- wildcard
+_WILDCARD_RE = re.compile(r"__([^_]*)__")
+
+
+def replace_prompt_with_wildcards(prompt: str, wildcard_option_dict=None,
+                                  wildcard_files=None, seed: int = 0) -> str:
+    """``__animal__`` placeholders -> random value from the named list or
+    <name>.txt file (reference wildcard_stable_diffusion.py)."""
+    import random
+
+    options = dict(wildcard_option_dict or {})
+    for path in wildcard_files or []:
+        import os
+
+        name = os.path.splitext(os.path.basename(path))[0]
+        with open(path, encoding="utf-8") as f:
+            options.setdefault(name, []).extend(
+                ln.strip() for ln in f if ln.strip())
+    rng = random.Random(seed)
+
+    def sub(m):
+        name = m.group(1)
+        values = options.get(name)
+        if not values:
+            raise ValueError(f"no wildcard values for __{name}__")
+        return rng.choice(values)
+
+    return _WILDCARD_RE.sub(sub, prompt)
+
+
+@register_pipeline
+class WildcardStableDiffusionPipeline(StableDiffusionPipeline):
+    """SD with __wildcard__ prompt randomization (reference
+    wildcard_stable_diffusion.py)."""
+
+    def __call__(self, prompt, wildcard_option_dict=None,
+                 wildcard_files=None, seed: int = 0, **kwargs):
+        if isinstance(prompt, str):
+            prompt = replace_prompt_with_wildcards(
+                prompt, wildcard_option_dict, wildcard_files, seed)
+        else:
+            prompt = [replace_prompt_with_wildcards(
+                p, wildcard_option_dict, wildcard_files, seed + i)
+                for i, p in enumerate(prompt)]
+        return super().__call__(prompt, seed=seed, **kwargs)
+
+
+class StableDiffusionMegaPipeline(StableDiffusionPipeline):
+    """One pipeline exposing .text2img/.img2img/.inpaint_legacy (reference
+    stable_diffusion_mega.py) over shared components."""
+
+    def text2img(self, *args, **kwargs):
+        return StableDiffusionPipeline.__call__(self, *args, **kwargs)
+
+    def img2img(self, *args, **kwargs):
+        from .stable_diffusion_img2img import StableDiffusionImg2ImgPipeline
+
+        return StableDiffusionImg2ImgPipeline.__call__(self, *args, **kwargs)
+
+    def inpaint_legacy(self, *args, **kwargs):
+        from .stable_diffusion_img2img import StableDiffusionInpaintPipeline
+
+        return StableDiffusionInpaintPipeline.__call__(self, *args, **kwargs)
+
+
+# ------------------------------------------------------------ mixture tiling
+def _gaussian_tile_weights(th: int, tw: int, ch: int) -> np.ndarray:
+    """Per-pixel gaussian blend weights for one tile (reference
+    mixture_tiling.py _gaussian_weights)."""
+    var = 0.01
+    mid_y, mid_x = (th - 1) / 2, (tw - 1) / 2
+    y = np.arange(th)
+    x = np.arange(tw)
+    wy = np.exp(-((y - mid_y) ** 2) / (th * th * var))
+    wx = np.exp(-((x - mid_x) ** 2) / (tw * tw * var))
+    w = np.outer(wy, wx)
+    return np.repeat(w[:, :, None], ch, axis=2).astype(np.float32)
+
+
+@register_pipeline
+class StableDiffusionTilingPipeline(StableDiffusionPipeline):
+    """Mixture-of-diffusers tiling (reference mixture_tiling.py): a grid of
+    overlapping tiles, one prompt per tile; every step runs ALL tiles as one
+    batched UNet call (the reference loops tile-by-tile) and blends the
+    per-tile noise predictions with gaussian weights."""
+
+    def __call__(self, prompt, tile_height: int = 64, tile_width: int = 64,
+                 tile_row_overlap: int = 32, tile_col_overlap: int = 32,
+                 num_inference_steps: int = 25, guidance_scale: float = 7.5,
+                 negative_prompt: str = "", seed: int = 0,
+                 output_type: str = "pil"):
+        assert isinstance(prompt, list) and prompt \
+            and all(isinstance(r, list) for r in prompt), \
+            "prompt must be a grid: list of rows of strings"
+        rows, cols = len(prompt), len(prompt[0])
+        sf = self.vae_scale_factor
+        th, tw = tile_height // sf, tile_width // sf
+        dy, dx = th - tile_row_overlap // sf, tw - tile_col_overlap // sf
+        H = th + (rows - 1) * dy
+        W = tw + (cols - 1) * dx
+
+        flat_prompts = [p for row in prompt for p in row]
+        n = len(flat_prompts)
+        cond, uncond = self.encode_prompt(flat_prompts,
+                                          [negative_prompt] * n)
+        do_cfg = guidance_scale > 1.0
+        context = jnp.concatenate([uncond, cond]) if do_cfg else cond
+
+        lat_ch = self.unet.config.in_channels
+        shape = (1, H, W, lat_ch)
+        latents = jax.random.normal(jax.random.PRNGKey(seed), shape,
+                                    jnp.float32)
+        from .pipeline_utils import make_scheduler_state
+        state = make_scheduler_state(self.scheduler, num_inference_steps,
+                                     sample_shape=shape)
+        latents = latents * self.scheduler.init_noise_sigma
+
+        offs = [(r * dy, c * dx) for r in range(rows) for c in range(cols)]
+        tile_w = jnp.asarray(_gaussian_tile_weights(th, tw, lat_ch))
+        # precompute the per-pixel weight normalizer
+        norm = np.zeros((H, W, lat_ch), np.float32)
+        for y0, x0 in offs:
+            norm[y0:y0 + th, x0:x0 + tw] += np.asarray(tile_w)
+        norm_j = jnp.asarray(np.maximum(norm, 1e-8))
+        unet, scheduler = self.unet, self.scheduler
+
+        def build():
+            def denoise(params, latents, context, state, gs):
+                def body(i, carry):
+                    latents, state = carry
+                    t = state.timesteps[i]
+                    tiles = jnp.concatenate([
+                        jax.lax.dynamic_slice(
+                            latents, (0, y0, x0, 0), (1, th, tw, lat_ch))
+                        for y0, x0 in offs])
+                    tiles_in = scheduler.scale_model_input(
+                        state,
+                        jnp.concatenate([tiles, tiles]) if do_cfg else tiles,
+                        i)
+                    t_in = jnp.broadcast_to(t, (tiles_in.shape[0],))
+                    pred = unet.module.apply(
+                        {"params": params}, tiles_in.astype(unet.dtype),
+                        t_in, context.astype(unet.dtype)).astype(jnp.float32)
+                    if do_cfg:
+                        un, co = jnp.split(pred, 2)
+                        pred = un + gs * (co - un)
+                    eps = jnp.zeros_like(latents)
+                    for k, (y0, x0) in enumerate(offs):
+                        eps = jax.lax.dynamic_update_slice(
+                            eps,
+                            jax.lax.dynamic_slice(
+                                eps, (0, y0, x0, 0), (1, th, tw, lat_ch))
+                            + pred[k:k + 1] * tile_w[None],
+                            (0, y0, x0, 0))
+                    eps = eps / norm_j[None]
+                    latents, state = scheduler.step(state, eps, i, latents)
+                    return latents, state
+
+                out, _ = jax.lax.fori_loop(0, num_inference_steps, body,
+                                           (latents, state))
+                return out
+
+            return jax.jit(denoise)
+
+        latents = self._jit.get(("tiling", shape, n, num_inference_steps,
+                                 do_cfg), build)(
+            self.unet.params, latents, context, state,
+            jnp.asarray(guidance_scale, jnp.float32))
+        if output_type == "latent":
+            return (latents,)
+        image = self._decode_latents(latents)
+        return (self.image_processor.postprocess(image, output_type),)

@@ -170,3 +170,46 @@ def test_reference_only_pipeline():
     img_b = pipe("a portrait", image=ref_b, height=16, width=16,
                  num_inference_steps=2, output_type="np")[0]
     assert not np.allclose(img_a, img_b)
+
+
+def test_wildcard_prompting(tmp_path):
+    from paddlemix_tpu.diffusers.pipelines import (
+        replace_prompt_with_wildcards,
+    )
+
+    out = replace_prompt_with_wildcards(
+        "a __animal__ in a __place__",
+        wildcard_option_dict={"animal": ["cat"], "place": ["forest"]})
+    assert out == "a cat in a forest"
+    f = tmp_path / "style.txt"
+    f.write_text("baroque\n")
+    out = replace_prompt_with_wildcards("__style__ art",
+                                        wildcard_files=[str(f)])
+    assert out == "baroque art"
+
+
+def test_mega_pipeline_modes():
+    from paddlemix_tpu.diffusers.pipelines import StableDiffusionMegaPipeline
+
+    pipe = StableDiffusionMegaPipeline(scheduler=DDPMScheduler(), **_sd_parts())
+    t2i = pipe.text2img("a cat", height=16, width=16,
+                        num_inference_steps=2, output_type="np")[0]
+    assert t2i.shape == (1, 16, 16, 3)
+    init = (np.random.RandomState(0).rand(16, 16, 3) * 255).astype(np.uint8)
+    i2i = pipe.img2img("a cat", image=init, strength=0.5,
+                       num_inference_steps=2, output_type="np")[0]
+    assert i2i.shape == (1, 16, 16, 3) and np.isfinite(i2i).all()
+
+
+def test_mixture_tiling_pipeline():
+    from paddlemix_tpu.diffusers.pipelines import (
+        StableDiffusionTilingPipeline,
+    )
+
+    pipe = StableDiffusionTilingPipeline(scheduler=DDPMScheduler(),
+                                         **_sd_parts())
+    img = pipe([["a forest", "a desert"]], tile_height=16, tile_width=16,
+               tile_row_overlap=8, tile_col_overlap=8,
+               num_inference_steps=2, output_type="np")[0]
+    # 1x2 grid of 16px tiles with 8px col overlap -> 16 x 24 canvas
+    assert img.shape == (1, 16, 24, 3) and np.isfinite(img).all()
