@@ -371,28 +371,29 @@ class LlamaForCausalLM(PretrainedModel):
     def convert_foreign_state_dict(cls, flat, config):
         """With config.fused_qkv, concatenate the checkpoint's separate
         q/k/v (and gate/up) projections into the fused kernels (torch
-        layout: out-features on dim 0)."""
-        if not getattr(config, "fused_qkv", False):
-            return flat
-        import re as _re
-
+        layout: out-features on dim 0), THEN apply the regular torch->flax
+        key map + transposes (a round-3 regression returned the raw torch
+        dict here, breaking every HF Llama load)."""
         out = dict(flat)
-        prefixes = sorted({m.group(1) for k in flat
-                           for m in [_re.match(
-                               r"(.*self_attn)\.q_proj\.weight$", k)] if m})
-        for p in prefixes:
-            parts = [out.pop(f"{p}.{n}_proj.weight") for n in "qkv"]
-            out[f"{p}.qkv_proj.weight"] = np.concatenate(
-                [np.asarray(w) for w in parts], axis=0)
-        prefixes = sorted({m.group(1) for k in flat
-                           for m in [_re.match(
-                               r"(.*mlp)\.gate_proj\.weight$", k)] if m})
-        for p in prefixes:
-            gate = np.asarray(out.pop(f"{p}.gate_proj.weight"))
-            up = np.asarray(out.pop(f"{p}.up_proj.weight"))
-            out[f"{p}.gate_up_proj.weight"] = np.concatenate([gate, up],
-                                                             axis=0)
-        return out
+        if getattr(config, "fused_qkv", False):
+            import re as _re
+
+            prefixes = sorted({m.group(1) for k in flat
+                               for m in [_re.match(
+                                   r"(.*self_attn)\.q_proj\.weight$", k)] if m})
+            for p in prefixes:
+                parts = [out.pop(f"{p}.{n}_proj.weight") for n in "qkv"]
+                out[f"{p}.qkv_proj.weight"] = np.concatenate(
+                    [np.asarray(w) for w in parts], axis=0)
+            prefixes = sorted({m.group(1) for k in flat
+                               for m in [_re.match(
+                                   r"(.*mlp)\.gate_proj\.weight$", k)] if m})
+            for p in prefixes:
+                gate = np.asarray(out.pop(f"{p}.gate_proj.weight"))
+                up = np.asarray(out.pop(f"{p}.up_proj.weight"))
+                out[f"{p}.gate_up_proj.weight"] = np.concatenate([gate, up],
+                                                                 axis=0)
+        return super().convert_foreign_state_dict(out, config)
 
     def init_cache(self, batch: int, max_len: int, dtype=None):
         return KVCache.create(self.config, batch, max_len,

@@ -70,13 +70,19 @@ def test_fused_checkpoint_conversion(tmp_path):
             size=(64, 32)).astype(np.float32)
     fcfg = LlamaConfig(**CFG, fused_qkv=True)
     out = LlamaForCausalLM.convert_foreign_state_dict(flat, fcfg)
-    assert "model.layers.0.self_attn.qkv_proj.weight" in out
-    assert out["model.layers.0.self_attn.qkv_proj.weight"].shape == (64, 32)
-    assert "model.layers.1.mlp.gate_up_proj.weight" in out
-    assert not any("q_proj" in k or "gate_proj.weight" in k for k in out)
-    # untouched without the flag
-    same = LlamaForCausalLM.convert_foreign_state_dict(flat, cfg)
-    assert same is flat
+    # fused + renamed to flax layout ((in, out) kernels)
+    assert "layers_0.self_attn.qkv_proj.kernel" in out
+    assert out["layers_0.self_attn.qkv_proj.kernel"].shape == (32, 64)
+    assert "layers_1.mlp.gate_up_proj.kernel" in out
+    assert not any("q_proj" in k or "gate_proj" in k for k in out)
+    # fused kernel must equal the concat of the separate flax kernels
+    sep = LlamaForCausalLM.convert_foreign_state_dict(flat, cfg)
+    assert "layers_0.self_attn.q_proj.kernel" in sep  # regular conversion
+    np.testing.assert_allclose(
+        out["layers_0.self_attn.qkv_proj.kernel"],
+        np.concatenate([sep["layers_0.self_attn.q_proj.kernel"],
+                        sep["layers_0.self_attn.k_proj.kernel"],
+                        sep["layers_0.self_attn.v_proj.kernel"]], axis=1))
 
 
 def test_fused_generate_runs():
