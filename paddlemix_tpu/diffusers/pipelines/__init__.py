@@ -8,6 +8,7 @@ from .stable_diffusion_3 import DiTPipeline, StableDiffusion3Pipeline
 from .community import (
     CLIPGuidedStableDiffusionPipeline,
     ComposableStableDiffusionPipeline,
+    EDICTPipeline,
     StableDiffusionMegaPipeline,
     StableDiffusionReferencePipeline,
     StableDiffusionTilingPipeline,

@@ -739,3 +739,149 @@ class StableDiffusionTilingPipeline(StableDiffusionPipeline):
             return (latents,)
         image = self._decode_latents(latents)
         return (self.image_processor.postprocess(image, output_type),)
+
+
+# --------------------------------------------------------------------- EDICT
+@register_pipeline
+class EDICTPipeline(StableDiffusionPipeline):
+    """EDICT exact-inversion editing (reference
+    examples/community/edict_pipeline.py): two coupled latent streams with
+    affine mixing layers make the DDIM walk exactly invertible — invert the
+    real image under the base prompt, then denoise under the target prompt.
+    Both directions run as single jitted fori_loops."""
+
+    mixing_coeff: float = 0.93
+    leapfrog_steps: bool = True
+
+    def _coeffs(self, state, num_inference_steps):
+        """(a_t, b_t) per schedule index (reference _get_alpha_and_beta +
+        denoise_step), precomputed host-side."""
+        acp = np.asarray(self.scheduler.alphas_cumprod)
+        n_train = len(acp)
+        ts = np.asarray(state.timesteps)
+        prev = ts - n_train // num_inference_steps
+        ap_t = acp[ts]
+        ap_prev = np.where(prev >= 0, acp[np.clip(prev, 0, None)], 1.0)
+        a = np.sqrt(ap_prev / ap_t)
+        b = -a * np.sqrt(1 - ap_t) + np.sqrt(1 - ap_prev)
+        return jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)
+
+    def __call__(self, base_prompt: str, target_prompt: str, image=None,
+                 guidance_scale: float = 3.0, num_inference_steps: int = 50,
+                 strength: float = 0.8, negative_prompt=None,
+                 output_type: str = "pil"):
+        do_cfg = guidance_scale > 1.0
+        bc, bu = self.encode_prompt(base_prompt, negative_prompt)
+        tc, tu = self.encode_prompt(target_prompt, negative_prompt)
+        base_ctx = jnp.concatenate([bu, bc]) if do_cfg else bc
+        tgt_ctx = jnp.concatenate([tu, tc]) if do_cfg else tc
+
+        init = jnp.asarray(self.image_processor.preprocess(image))
+        lat = self.vae.encode(init.astype(self.vae.dtype)).mode() \
+            .astype(jnp.float32) * self.vae.config.scaling_factor
+
+        state = self.scheduler.set_timesteps(num_inference_steps)
+        t_limit = num_inference_steps - int(num_inference_steps * strength)
+        a_all, b_all = self._coeffs(state, num_inference_steps)
+        p = self.mixing_coeff
+        leapfrog = self.leapfrog_steps
+        n_act = num_inference_steps - t_limit
+        unet, scheduler = self.unet, self.scheduler
+        timesteps = state.timesteps
+
+        def eps_at(params, model_input, t, ctx):
+            lat_in = (jnp.concatenate([model_input, model_input])
+                      if do_cfg else model_input)
+            t_in = jnp.broadcast_to(t, (lat_in.shape[0],))
+            pred = unet.module.apply({"params": params},
+                                     lat_in.astype(unet.dtype), t_in,
+                                     ctx.astype(unet.dtype)).astype(jnp.float32)
+            if do_cfg:
+                un, co = jnp.split(pred, 2)
+                pred = un + jnp.float32(guidance_scale) * (co - un)
+            return pred
+
+        def build():
+            def run(params, lat, base_ctx, tgt_ctx):
+                x0 = lat
+                y0 = lat
+
+                # ---- inversion (noise_step over reversed active schedule)
+                def inv_body(s, carry):
+                    x, y = carry
+                    idx = num_inference_steps - 1 - s  # walk schedule tail up
+                    t = timesteps[idx]
+                    a_t, b_t = a_all[idx], b_all[idx]
+                    # inverse mixing layer first
+                    y = (y - (1 - p) * x) / p
+                    x = (x - (1 - p) * y) / p
+
+                    def one(k_first, x, y):
+                        # k_first chooses which stream is 'base' first
+                        def step(base, model_input):
+                            eps = eps_at(params, model_input, t, base_ctx)
+                            return (base - b_t * eps) / a_t
+
+                        if k_first == 0:
+                            x = step(x, y)
+                            y = step(y, x)
+                        else:
+                            y = step(y, x)
+                            x = step(x, y)
+                        return x, y
+
+                    if leapfrog:
+                        x, y = jax.lax.cond(s % 2 == 1,
+                                            lambda xy: one(1, *xy),
+                                            lambda xy: one(0, *xy),
+                                            (x, y))
+                    else:
+                        x, y = one(0, x, y)
+                    return x, y
+
+                x, y = jax.lax.fori_loop(0, n_act, inv_body, (x0, y0))
+
+                # ---- denoise under the target prompt
+                def den_body(s, carry):
+                    x, y = carry
+                    idx = t_limit + s
+                    t = timesteps[idx]
+                    a_t, b_t = a_all[idx], b_all[idx]
+
+                    def one(k_first, x, y):
+                        def step(base, model_input):
+                            eps = eps_at(params, model_input, t, tgt_ctx)
+                            return a_t * base + b_t * eps
+
+                        if k_first == 0:
+                            x = step(x, y)
+                            y = step(y, x)
+                        else:
+                            y = step(y, x)
+                            x = step(x, y)
+                        return x, y
+
+                    if leapfrog:
+                        x, y = jax.lax.cond(s % 2 == 1,
+                                            lambda xy: one(1, *xy),
+                                            lambda xy: one(0, *xy),
+                                            (x, y))
+                    else:
+                        x, y = one(0, x, y)
+                    x = p * x + (1 - p) * y
+                    y = p * y + (1 - p) * x
+                    return x, y
+
+                x, y = jax.lax.fori_loop(0, n_act, den_body, (x, y))
+                return x
+
+            return jax.jit(run)
+
+        lat_out = self._jit.get(("edict", lat.shape, num_inference_steps,
+                                 t_limit, do_cfg, float(guidance_scale)),
+                                build)(
+            self.unet.params, lat, base_ctx, tgt_ctx)
+        if output_type == "latent":
+            return (lat_out,)
+        image_out = self._decode_latents(lat_out)
+        return (self.image_processor.postprocess(image_out, output_type),)

@@ -213,3 +213,30 @@ def test_mixture_tiling_pipeline():
                num_inference_steps=2, output_type="np")[0]
     # 1x2 grid of 16px tiles with 8px col overlap -> 16 x 24 canvas
     assert img.shape == (1, 16, 24, 3) and np.isfinite(img).all()
+
+
+def test_edict_exact_inversion():
+    """Same base and target prompt -> the coupled inversion/denoise round
+    trip must reconstruct the input latent (EDICT's defining property)."""
+    from paddlemix_tpu.diffusers import DDIMScheduler
+    from paddlemix_tpu.diffusers.pipelines import EDICTPipeline
+
+    parts = _sd_parts()
+    pipe = EDICTPipeline(scheduler=DDIMScheduler(set_alpha_to_one=True),
+                         **parts)
+    img = (np.random.RandomState(0).rand(16, 16, 3) * 255).astype(np.uint8)
+
+    # ground-truth input latent (mode, as the pipeline computes it)
+    init = jnp.asarray(pipe.image_processor.preprocess(img))
+    lat_in = pipe.vae.encode(init).mode() * pipe.vae.config.scaling_factor
+
+    out = pipe("a photo", "a photo", image=img, num_inference_steps=4,
+               strength=1.0, guidance_scale=1.0, output_type="latent")[0]
+    err = float(jnp.abs(out - lat_in).max() / (jnp.abs(lat_in).max() + 1e-9))
+    assert err < 2e-2, err
+
+    # a different target prompt must move the latent
+    out2 = pipe("a photo", "an oil painting of a cat", image=img,
+                num_inference_steps=4, strength=1.0, guidance_scale=1.0,
+                output_type="latent")[0]
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
