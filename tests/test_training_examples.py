@@ -280,3 +280,32 @@ def test_t2i_adapter_training_example(tmp_path):
         capture_output=True, text=True, env=env, timeout=420)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "loss=" in r.stdout and "saved adapter" in r.stdout
+
+
+def test_animate_anyone_stage1_example():
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/examples/train_animate_anyone.py",
+         "--stage", "1", "--steps", "3"],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "loss=" in r.stdout
+
+
+def test_animate_anyone_stage2_freezes_base():
+    """Stage 2 trains ONLY the motion modules."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/examples/train_animate_anyone.py",
+         "--stage", "2", "--frames", "2", "--steps", "3"],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "frozen weights changed: 0" in r.stdout
