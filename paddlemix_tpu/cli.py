@@ -90,6 +90,24 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_merge_lora(args) -> int:
+    """Fold a LoRA adapter into base weights and save the merged model
+    (reference paddlemix/tools/merge_lora_params.py)."""
+    import importlib
+
+    from .peft import load_lora, merge_lora_into_model
+
+    mod_name, _, cls_name = args.model_class.rpartition(".")
+    cls = getattr(importlib.import_module(mod_name), cls_name)
+    model = cls.from_pretrained(args.model_name_or_path)
+    lora_params, lora_config = load_lora(args.lora_path)
+    merge_lora_into_model(model, lora_params, lora_config)
+    model.save_pretrained(args.output)
+    print(f"merged {args.lora_path} into {args.model_name_or_path} "
+          f"-> {args.output}")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser("paddlemix-tpu-cli")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -107,9 +125,18 @@ def main(argv=None) -> int:
     p.add_argument("--model-class", required=True,
                    help="e.g. paddlemix_tpu.models.llama.LlamaForCausalLM")
 
+    p = sub.add_parser("merge-lora", help="fold a LoRA adapter into base "
+                       "weights (reference tools/merge_lora_params.py)")
+    p.add_argument("model_name_or_path")
+    p.add_argument("lora_path")
+    p.add_argument("output")
+    p.add_argument("--model-class", required=True,
+                   help="e.g. paddlemix_tpu.models.llama.LlamaForCausalLM")
+
     args = parser.parse_args(argv)
     return {"env": cmd_env, "fp16-safetensors": cmd_fp16_safetensors,
-            "convert": cmd_convert}[args.command](args)
+            "convert": cmd_convert,
+            "merge-lora": cmd_merge_lora}[args.command](args)
 
 
 if __name__ == "__main__":

@@ -66,3 +66,37 @@ def test_layer_decay_scales():
     ratio = abs(float(updates["patch_embed"]["kernel"][0, 0])) / \
         abs(float(updates["head"]["kernel"][0, 0]))
     np.testing.assert_allclose(ratio, ld ** 5, rtol=1e-4)
+
+
+def test_cli_merge_lora(tmp_path):
+    """merge-lora folds an adapter into base weights via the CLI
+    (reference paddlemix/tools/merge_lora_params.py)."""
+    import jax
+    import numpy as np
+
+    from paddlemix_tpu.cli import main
+    from paddlemix_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+    from paddlemix_tpu.peft import LoraConfig, lora_init, save_lora
+
+    model = LlamaForCausalLM.from_config(LlamaConfig(
+        vocab_size=32, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2))
+    base_dir, lora_dir, out_dir = (str(tmp_path / d)
+                                   for d in ("base", "lora", "merged"))
+    model.save_pretrained(base_dir)
+
+    cfg = LoraConfig(r=2, target_modules=".*q_proj.*")
+    lora = lora_init(model.params, cfg, jax.random.PRNGKey(0))
+    # make b nonzero so the merge visibly changes the kernel
+    lora = {k: {"a": v["a"], "b": v["b"] + 0.1} for k, v in lora.items()}
+    save_lora(lora, cfg, lora_dir)
+
+    rc = main(["merge-lora", base_dir, lora_dir, out_dir, "--model-class",
+               "paddlemix_tpu.models.llama.LlamaForCausalLM"])
+    assert rc == 0
+    merged = LlamaForCausalLM.from_pretrained(out_dir)
+    flat0 = dict(jax.tree_util.tree_flatten_with_path(model.params)[0])
+    flat1 = dict(jax.tree_util.tree_flatten_with_path(merged.params)[0])
+    changed = [k for k in flat0
+               if not np.allclose(np.asarray(flat0[k]), np.asarray(flat1[k]))]
+    assert changed and all("q_proj" in str(k) for k in changed)
