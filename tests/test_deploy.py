@@ -43,3 +43,48 @@ def test_predictor(tmp_path):
     assert len(pred._compiled) == 2
     cost = pred.cost_analysis(ids)
     assert isinstance(cost, dict)
+
+
+def test_qwen_vl_export(tmp_path):
+    """deploy/qwen_vl/export_model.py exports image-encoder + prefill +
+    decode (reference deploy/qwen_vl/export_image_encoder.py +
+    run_static_predict.py)."""
+    import os
+    import subprocess
+    import sys
+
+    from paddlemix_tpu.models.qwen_vl import (
+        QwenVLConfig,
+        QwenVLForConditionalGeneration,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = QwenVLConfig(
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=1, num_attention_heads=2,
+                           image_size=32, patch_size=16),
+        text_config=dict(vocab_size=64, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=1, num_attention_heads=2,
+                         num_key_value_heads=2, max_position_embeddings=64),
+        num_queries=4, image_token_id=63)
+    model = QwenVLForConditionalGeneration.from_config(cfg)
+    ckpt = str(tmp_path / "ckpt")
+    model.save_pretrained(ckpt)
+
+    out = str(tmp_path / "export")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "deploy/qwen_vl/export_model.py"),
+         "--model-path", ckpt, "--output", out, "--prompt-len", "8",
+         "--max-len", "32"],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    for f in ("image_encoder.jaxexport", "prefill.jaxexport",
+              "decode.jaxexport"):
+        assert os.path.exists(os.path.join(out, f)), f
+
+    from paddlemix_tpu.deploy import load_fn
+
+    enc = load_fn(os.path.join(out, "image_encoder.jaxexport"))
+    feats = enc(model.params, jnp.zeros((1, 32, 32, 3), jnp.float32))
+    assert feats.shape == (1, 4, 32)  # num_queries x text hidden
