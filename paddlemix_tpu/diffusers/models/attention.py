@@ -58,7 +58,7 @@ class CrossAttention(nn.Module):
     quant: str = None
     dtype: jnp.dtype = jnp.float32
 
-    def _attend(self, q, ctx, name_k, name_v, capture=False):
+    def _attend(self, q, ctx, name_k, name_v, capture=False, bias=None):
         inner = self.num_heads * self.head_dim
         b, sq = q.shape[:2]
         k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
@@ -80,10 +80,11 @@ class CrossAttention(nn.Module):
             self.sow("intermediates", "cross_attn_probs", probs.mean(axis=1))
             out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(vh.dtype), vh)
             return out.reshape(b, sq, inner)
-        return scaled_dot_product_attention(qh, kh, vh).reshape(b, sq, inner)
+        return scaled_dot_product_attention(qh, kh, vh,
+                                           bias=bias).reshape(b, sq, inner)
 
     @nn.compact
-    def __call__(self, hidden, context=None):
+    def __call__(self, hidden, context=None, bias=None):
         inner = self.num_heads * self.head_dim
         is_cross = context is not None
         context = hidden if context is None else context
@@ -94,7 +95,8 @@ class CrossAttention(nn.Module):
         q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
                      dot_general=_qdg(self.quant), name="to_q")(hidden)
         capture = is_cross and self.is_mutable_collection("intermediates")
-        out = self._attend(q, context, "to_k", "to_v", capture=capture)
+        out = self._attend(q, context, "to_k", "to_v", capture=capture,
+                           bias=bias)
         if ip_ctx is not None:
             out = out + self.ip_scale * self._attend(q, ip_ctx, "to_k_ip", "to_v_ip")
         return nn.Dense(hidden.shape[-1], use_bias=self.out_bias, dtype=self.dtype,
@@ -183,11 +185,24 @@ class BasicTransformerBlock(nn.Module):
             # mutual self-attention (AnimateAnyone ReferenceAttentionControl
             # "read", ppdiffusers/models/animate_anyone/
             # mutual_self_attention.py): K/V extend over the reference
-            # features; q and all projections are the ordinary attn1 params
+            # features; q and all projections are the ordinary attn1 params.
+            # A (features, log_weight) tuple additionally biases the extra
+            # tokens' logits — softmax(logits + log w) == the FABRIC
+            # processor's prob*w renormalization (pipeline_fabric.py:113-117)
+            log_w = None
+            if isinstance(extra_kv, tuple):
+                extra_kv, log_w = extra_kv
             kv = jnp.concatenate([h, extra_kv.astype(h.dtype)], axis=1)
+            bias = None
+            if log_w is not None:
+                bias = jnp.concatenate(
+                    [jnp.zeros((h.shape[1],), jnp.float32),
+                     jnp.broadcast_to(jnp.asarray(log_w, jnp.float32),
+                                      (extra_kv.shape[1],))]
+                ).reshape(1, 1, 1, -1)
             hidden = hidden + CrossAttention(
                 self.num_heads, self.head_dim, dtype=self.dtype, quant=self.quant,
-                name="attn1")(h, kv)
+                name="attn1")(h, kv, bias=bias)
         else:
             hidden = hidden + CrossAttention(
                 self.num_heads, self.head_dim, dtype=self.dtype, quant=self.quant,

@@ -9,6 +9,7 @@ from .community import (
     CLIPGuidedStableDiffusionPipeline,
     ComposableStableDiffusionPipeline,
     EDICTPipeline,
+    FabricPipeline,
     StableDiffusionMegaPipeline,
     StableDiffusionReferencePipeline,
     StableDiffusionTilingPipeline,

@@ -885,3 +885,143 @@ class EDICTPipeline(StableDiffusionPipeline):
             return (lat_out,)
         image_out = self._decode_latents(lat_out)
         return (self.image_processor.postprocess(image_out, output_type),)
+
+
+# -------------------------------------------------------------------- FABRIC
+@register_pipeline
+class FabricPipeline(StableDiffusionPipeline):
+    """FABRIC feedback-conditioned generation (reference
+    examples/community/pipeline_fabric.py): liked/disliked images' noised
+    latents run through the UNet at each step; their pre-attn1 hidden states
+    extend the self-attention K/V — the cond branch attends to LIKED tokens
+    with weight w_pos, the uncond branch to DISLIKED tokens with weight
+    w_neg (logit bias log w == the reference's prob*w renormalization).
+    Outside [feedback_start, feedback_end) the extra tokens are masked
+    (bias -30), matching the reference's no-caching window."""
+
+    def __call__(self, prompt, liked=None, disliked=None, height: int = 512,
+                 width: int = 512, num_inference_steps: int = 25,
+                 guidance_scale: float = 7.5, negative_prompt=None,
+                 seed: int = 0, pos_weight: float = 0.8,
+                 neg_weight: float = 0.5, feedback_start_ratio: float = 0.33,
+                 feedback_end_ratio: float = 0.66,
+                 output_type: str = "pil", **kwargs):
+        from ..models.animate_anyone import _path_sort_key
+
+        do_cfg = guidance_scale > 1.0
+        cond, uncond = self.encode_prompt(prompt, negative_prompt)
+        batch = cond.shape[0]
+        shape = (batch, height // self.vae_scale_factor,
+                 width // self.vae_scale_factor, self.unet.config.in_channels)
+        latents = jax.random.normal(jax.random.PRNGKey(seed), shape,
+                                    jnp.float32)
+        state = self.scheduler.set_timesteps(num_inference_steps)
+        latents = latents * self.scheduler.init_noise_sigma
+
+        def feedback_latents(images):
+            if not images:
+                return None
+            arr = jnp.concatenate([
+                jnp.asarray(self.image_processor.preprocess(im))
+                for im in images])
+            lat = self.vae.encode(arr.astype(self.vae.dtype)).mode() \
+                .astype(jnp.float32) * self.vae.config.scaling_factor
+            return lat
+
+        pos_lat = feedback_latents(liked)
+        neg_lat = feedback_latents(disliked)
+        if pos_lat is None and neg_lat is None:
+            return super().__call__(
+                prompt, height=height, width=width,
+                num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale,
+                negative_prompt=negative_prompt, seed=seed,
+                output_type=output_type)
+
+        i_start = int(num_inference_steps * feedback_start_ratio)
+        i_end = int(num_inference_steps * feedback_end_ratio)
+        unet, scheduler = self.unet, self.scheduler
+        null_ctx = uncond[:1]
+
+        def capture_hiddens(params, lat, t, ctx):
+            n = lat.shape[0]
+            _, st = unet.module.apply(
+                {"params": params}, lat.astype(unet.dtype),
+                jnp.broadcast_to(t, (n,)),
+                jnp.broadcast_to(ctx, (n, *ctx.shape[1:])).astype(unet.dtype),
+                capture_intermediates=lambda m, _:
+                    type(m).__name__ == "LayerNorm" and m.name == "norm1"
+                    and any(str(p).startswith("transformer_blocks")
+                            for p in m.path))
+            flat = jax.tree_util.tree_flatten_with_path(
+                st["intermediates"])[0]
+            named = []
+            for keypath, value in flat:
+                path = tuple(getattr(k, "key", str(k)) for k in keypath)
+                if "norm1" not in path:
+                    continue
+                named.append((tuple(p for p in path if p != "__call__"),
+                              value))
+            named.sort(key=lambda kv: _path_sort_key(kv[0]))
+            # (n_imgs, tokens, d) -> (1, n_imgs*tokens, d) per block
+            return [v.reshape(1, -1, v.shape[-1]) for _, v in named]
+
+        def build():
+            def denoise(params, latents, cond, uncond, pos_lat, neg_lat,
+                        state, gs, key):
+                def one_branch(lat_half, ctx, fb_lat, log_w, t, i, key):
+                    if fb_lat is None:
+                        pred = unet.module.apply(
+                            {"params": params}, lat_half.astype(unet.dtype),
+                            jnp.broadcast_to(t, (lat_half.shape[0],)),
+                            ctx.astype(unet.dtype)).astype(jnp.float32)
+                        return pred
+                    noise = jax.random.normal(key, fb_lat.shape)
+                    fb_t = scheduler.add_noise(fb_lat, noise,
+                                               t[None].astype(jnp.int32))
+                    refs = capture_hiddens(params, fb_t, t, null_ctx)
+                    in_window = jnp.logical_and(i >= i_start, i < i_end)
+                    lw = jnp.where(in_window, jnp.log(jnp.float32(log_w)),
+                                   -30.0)
+                    refs = [(jnp.repeat(r, lat_half.shape[0], axis=0), lw)
+                            for r in refs]
+                    return unet.module.apply(
+                        {"params": params}, lat_half.astype(unet.dtype),
+                        jnp.broadcast_to(t, (lat_half.shape[0],)),
+                        ctx.astype(unet.dtype),
+                        reference_features=refs).astype(jnp.float32)
+
+                def body(i, carry):
+                    latents, state, key = carry
+                    key, kp, kn = jax.random.split(key, 3)
+                    t = state.timesteps[i]
+                    lat_in = scheduler.scale_model_input(state, latents, i)
+                    eps_c = one_branch(lat_in, cond, pos_lat, pos_weight,
+                                       t, i, kp)
+                    if do_cfg:
+                        eps_u = one_branch(lat_in, uncond, neg_lat,
+                                           neg_weight, t, i, kn)
+                        pred = eps_u + gs * (eps_c - eps_u)
+                    else:
+                        pred = eps_c
+                    latents, state = scheduler.step(state, pred, i, latents)
+                    return latents, state, key
+
+                out, _, _ = jax.lax.fori_loop(0, num_inference_steps, body,
+                                              (latents, state, key))
+                return out
+
+            return jax.jit(denoise, static_argnums=())
+
+        n_pos = None if pos_lat is None else pos_lat.shape[0]
+        n_neg = None if neg_lat is None else neg_lat.shape[0]
+        latents = self._jit.get(
+            ("fabric", shape, num_inference_steps, do_cfg, n_pos, n_neg,
+             pos_weight, neg_weight, i_start, i_end), build)(
+            self.unet.params, latents, cond, uncond, pos_lat, neg_lat,
+            state, jnp.asarray(guidance_scale, jnp.float32),
+            jax.random.PRNGKey(seed + 1))
+        if output_type == "latent":
+            return (latents,)
+        image = self._decode_latents(latents)
+        return (self.image_processor.postprocess(image, output_type),)

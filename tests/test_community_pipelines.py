@@ -240,3 +240,26 @@ def test_edict_exact_inversion():
                 num_inference_steps=4, strength=1.0, guidance_scale=1.0,
                 output_type="latent")[0]
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_fabric_pipeline_feedback():
+    from paddlemix_tpu.diffusers.pipelines import FabricPipeline
+
+    pipe = FabricPipeline(scheduler=DDPMScheduler(), **_sd_parts())
+    liked = [(np.random.RandomState(1).rand(16, 16, 3) * 255).astype(np.uint8)]
+    disliked = [(np.random.RandomState(2).rand(16, 16, 3) * 255).astype(np.uint8)]
+    img = pipe("a landscape", liked=liked, disliked=disliked,
+               height=16, width=16, num_inference_steps=3,
+               feedback_start_ratio=0.0, feedback_end_ratio=1.0,
+               output_type="np")[0]
+    assert img.shape == (1, 16, 16, 3) and np.isfinite(img).all()
+    # no feedback -> plain SD path, and the feedback must matter
+    base = pipe("a landscape", height=16, width=16, num_inference_steps=3,
+                output_type="np")[0]
+    assert not np.allclose(img, base)
+    # masked window (start==end) ~ the plain result
+    masked = pipe("a landscape", liked=liked, disliked=disliked,
+                  height=16, width=16, num_inference_steps=3,
+                  feedback_start_ratio=0.5, feedback_end_ratio=0.5,
+                  output_type="np")[0]
+    np.testing.assert_allclose(masked, base, atol=2e-2)
