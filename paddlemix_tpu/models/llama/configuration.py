@@ -38,6 +38,11 @@ class LlamaConfig(BaseConfig):
     # streams — the decode profile shows per-tensor DMA latency gaps
     # (slice-done waits) costing ~4 ms/token on 7B a8w8 decode
     fused_qkv: bool = False
+    # lax.scan over the decoder stack (stacked (L, ...) weights): one traced
+    # layer instead of num_hidden_layers copies — compile time drops ~L-fold
+    # at 7B scale, and the per-layer weight reads become one regular strided
+    # stream. Opt-in; dense KV cache only (no paged cache under scan).
+    scan_layers: bool = False
 
     @property
     def kv_heads(self) -> int:

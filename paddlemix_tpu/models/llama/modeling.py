@@ -285,6 +285,52 @@ class LlamaDecoderLayer(nn.Module):
         return x, new_cache
 
 
+class _ScanBlock(nn.Module):
+    """One decoder layer viewed through lax.scan: carry = (x, positions,
+    segment_ids, lengths), xs = this layer's (1, B, L, kvh, hd) cache
+    slices (or None). The inner layer sees a single-layer KVCache, so the
+    per-layer code is EXACTLY the unrolled path's."""
+
+    config: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        from ...parallel.sharding import shard_activations
+
+        x, positions, segment_ids, lengths = carry
+        cache = None if xs is None else KVCache(xs[0], xs[1], lengths)
+        x, new_cache = LlamaDecoderLayer(self.config, dtype=self.dtype,
+                                         name="layer")(
+            x, positions, segment_ids=segment_ids, cache=cache, layer_idx=0)
+        x = shard_activations(x)
+        ys = None if new_cache is None else (new_cache.k, new_cache.v)
+        return (x, positions, segment_ids, lengths), ys
+
+
+def stack_layer_params(flat: dict, num_layers: int) -> dict:
+    """``layers_<i>.<rest>`` -> ``layers.layer.<rest>`` with a leading (L,)
+    axis, the param layout nn.scan expects (config.scan_layers)."""
+    import re as _re
+
+    out, grouped = {}, {}
+    for k, v in flat.items():
+        m = _re.match(r"(.*?)layers_(\d+)\.(.*)$", k)
+        if m:
+            grouped.setdefault((m.group(1), m.group(3)), {})[
+                int(m.group(2))] = v
+        else:
+            out[k] = v
+    for (prefix, rest), by_layer in grouped.items():
+        missing = [i for i in range(num_layers) if i not in by_layer]
+        if missing:
+            raise ValueError(f"scan_layers stacking: layer(s) {missing} "
+                             f"missing for {prefix}layers.*.{rest}")
+        out[f"{prefix}layers.layer.{rest}"] = np.stack(
+            [np.asarray(by_layer[i]) for i in range(num_layers)])
+    return out
+
+
 class LlamaModule(nn.Module):
     config: LlamaConfig
     dtype: jnp.dtype = jnp.float32
@@ -293,8 +339,17 @@ class LlamaModule(nn.Module):
     def setup(self):
         cfg = self.config
         self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype)
-        self.layers = [LlamaDecoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")
-                       for i in range(cfg.num_hidden_layers)]
+        if getattr(cfg, "scan_layers", False):
+            self.layers = nn.scan(
+                _ScanBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=cfg.num_hidden_layers,
+                in_axes=0, out_axes=0,
+            )(cfg, dtype=self.dtype, name="layers")
+        else:
+            self.layers = [LlamaDecoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")
+                           for i in range(cfg.num_hidden_layers)]
         self.norm = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype)
         if self.with_lm_head and not cfg.tie_word_embeddings:
             self.lm_head = MXUDense(cfg.vocab_size, use_bias=False, dtype=self.dtype,
@@ -320,13 +375,31 @@ class LlamaModule(nn.Module):
 
         if isinstance(cur_cache, PagedKVCache):
             cur_cache = cur_cache.allocate_for(positions)  # once per step
-        for i, layer in enumerate(self.layers):
-            x, new_cache = layer(x, positions, segment_ids=segment_ids,
-                                 cache=cur_cache, layer_idx=i,
-                                 rope_override=rope_override)
-            x = shard_activations(x)
-            if new_cache is not None:
-                cur_cache = new_cache
+        if getattr(cfg, "scan_layers", False):
+            assert not isinstance(cur_cache, PagedKVCache), \
+                "scan_layers supports the dense KV cache only"
+            assert rope_override is None, \
+                "scan_layers does not support rope_override"
+            if cur_cache is None:
+                xs, lengths = None, jnp.zeros((b,), jnp.int32)
+            else:
+                # scan slices the stacked (L, B, S, kvh, hd) buffers one
+                # layer at a time; each slice is a single-layer KVCache
+                xs = (cur_cache.k[:, None], cur_cache.v[:, None])
+                lengths = cur_cache.lengths
+            (x, _, _, _), ys = self.layers(
+                (x, positions, segment_ids, lengths), xs)
+            if ys is not None:
+                cur_cache = KVCache(ys[0][:, 0], ys[1][:, 0],
+                                    cur_cache.lengths)
+        else:
+            for i, layer in enumerate(self.layers):
+                x, new_cache = layer(x, positions, segment_ids=segment_ids,
+                                     cache=cur_cache, layer_idx=i,
+                                     rope_override=rope_override)
+                x = shard_activations(x)
+                if new_cache is not None:
+                    cur_cache = new_cache
         x = self.norm(x)
 
         out_cache = None
@@ -393,7 +466,10 @@ class LlamaForCausalLM(PretrainedModel):
                 up = np.asarray(out.pop(f"{p}.up_proj.weight"))
                 out[f"{p}.gate_up_proj.weight"] = np.concatenate([gate, up],
                                                                  axis=0)
-        return super().convert_foreign_state_dict(out, config)
+        out = super().convert_foreign_state_dict(out, config)
+        if getattr(config, "scan_layers", False):
+            out = stack_layer_params(out, config.num_hidden_layers)
+        return out
 
     def init_cache(self, batch: int, max_len: int, dtype=None):
         return KVCache.create(self.config, batch, max_len,
