@@ -348,3 +348,25 @@ def interpolate_pos_embed(v: np.ndarray, target: tuple):
 
 def key_str(v, a, b):
     return f"pos-embed ({a}->{b})"
+
+
+def enable_recompute(model):
+    """Flip gradient checkpointing ON for a loaded model (reference
+    `recompute` config flag / torch enable_gradient_checkpointing): sets the
+    flag on the model's own config or, for VLM composites, on the nested
+    text_config, and rebuilds the module so setup() sees it."""
+    import dataclasses as _dc
+
+    c = model.config
+    if hasattr(c, "gradient_checkpointing"):
+        model.config = _dc.replace(c, gradient_checkpointing=True)
+    elif isinstance(getattr(c, "text_config", None), dict):
+        model.config = _dc.replace(
+            c, text_config=dict(c.text_config, gradient_checkpointing=True))
+    else:
+        logger.warning("%s has no gradient_checkpointing hook; recompute "
+                       "ignored", type(model).__name__)
+        return model
+    model.module = model.module_class(
+        model.config, **_dtype_kw(model.module_class, model.dtype))
+    return model

@@ -63,6 +63,9 @@ class UNet2DConditionConfig(BaseConfig):
     quant: Optional[str] = None
     tome_ratio: float = 0.0
     attention_type: str = "default"  # "gated" = GLIGEN grounded generation
+    # rematerialize each down/mid/up block in backward (reference
+    # enable_gradient_checkpointing / recompute): jax.checkpoint per block
+    gradient_checkpointing: bool = False
 
     def _per_block(self, v):
         n = len(self.block_out_channels)
@@ -306,6 +309,13 @@ class UNet2DConditionModule(nn.Module):
 
         heads = cfg.heads_per_block
         tf_layers = cfg.tf_layers_per_block
+
+        def maybe_remat(block_fn):
+            # reference enable_gradient_checkpointing: remat each block
+            if not cfg.gradient_checkpointing:
+                return block_fn
+            return nn.remat(block_fn, prevent_cse=False)
+
         skips = [sample]
         # reference-only attention: features consumed positionally in
         # traversal order (down asc -> mid -> up asc), matching
@@ -318,33 +328,41 @@ class UNet2DConditionModule(nn.Module):
             last = i == len(cfg.down_block_types) - 1
             extra = intra[i] if intra is not None and i < len(intra) else None
             if block_type == "CrossAttnDownBlock2D":
-                sample, outs = CrossAttnDownBlock2D(
+                blk = CrossAttnDownBlock2D(
                     ch, cfg.layers_per_block, heads[i], tf_layers[i],
                     cfg.use_linear_projection, add_downsample=not last, groups=groups,
                     ip_tokens=cfg.ip_adapter_tokens, ip_scale=cfg.ip_adapter_scale,
                     quant=cfg.quant, tome_ratio=cfg.tome_ratio,
                     attention_type=cfg.attention_type,
-                    dtype=self.dtype, name=f"down_blocks_{i}")(
-                    sample, emb, encoder_hidden_states, extra_residual=extra,
-                    gligen_objs=gligen_objs, refs=refs)
+                    dtype=self.dtype, name=f"down_blocks_{i}")
+                sample, outs = maybe_remat(
+                    lambda m, s, e, c, x: m(s, e, c, extra_residual=x,
+                                            gligen_objs=gligen_objs,
+                                            refs=refs))(
+                    blk, sample, emb, encoder_hidden_states, extra)
             else:
-                sample, outs = DownBlock2D(ch, cfg.layers_per_block, add_downsample=not last,
-                                           groups=groups, quant=cfg.quant, dtype=self.dtype,
-                                           name=f"down_blocks_{i}")(
-                    sample, emb, extra_residual=extra)
+                blk = DownBlock2D(ch, cfg.layers_per_block, add_downsample=not last,
+                                  groups=groups, quant=cfg.quant, dtype=self.dtype,
+                                  name=f"down_blocks_{i}")
+                sample, outs = maybe_remat(
+                    lambda m, s, e, x: m(s, e, extra_residual=x))(
+                    blk, sample, emb, extra)
             skips.extend(outs)
 
         if down_block_additional_residuals is not None:
             skips = [s + r for s, r in zip(skips, down_block_additional_residuals)]
 
-        sample = UNetMidBlock2DCrossAttn(
+        mid = UNetMidBlock2DCrossAttn(
             cfg.block_out_channels[-1], heads[-1], tf_layers[-1],
             cfg.use_linear_projection, groups=groups,
             ip_tokens=cfg.ip_adapter_tokens, ip_scale=cfg.ip_adapter_scale,
             quant=cfg.quant, tome_ratio=cfg.tome_ratio,
             attention_type=cfg.attention_type, dtype=self.dtype,
-            name="mid_block")(sample, emb, encoder_hidden_states,
-                              gligen_objs=gligen_objs, refs=refs)
+            name="mid_block")
+        sample = maybe_remat(
+            lambda m, s, e, c: m(s, e, c, gligen_objs=gligen_objs,
+                                 refs=refs))(
+            mid, sample, emb, encoder_hidden_states)
         if mid_block_additional_residual is not None:
             sample = sample + mid_block_additional_residual
 
@@ -357,19 +375,24 @@ class UNet2DConditionModule(nn.Module):
             block_skips = [skips.pop() for _ in range(n_layers)][::-1]
             block_skips = list(block_skips)
             if block_type == "CrossAttnUpBlock2D":
-                sample = CrossAttnUpBlock2D(
+                blk = CrossAttnUpBlock2D(
                     ch, n_layers, heads[j], tf_layers[j], cfg.use_linear_projection,
                     add_upsample=not last, groups=groups,
                     ip_tokens=cfg.ip_adapter_tokens, ip_scale=cfg.ip_adapter_scale,
                     quant=cfg.quant, tome_ratio=cfg.tome_ratio,
                     attention_type=cfg.attention_type, dtype=self.dtype,
-                    name=f"up_blocks_{i}")(sample, block_skips, emb,
-                                           encoder_hidden_states,
-                                           gligen_objs=gligen_objs, refs=refs)
+                    name=f"up_blocks_{i}")
+                sample = maybe_remat(
+                    lambda m, s, sk, e, c: m(s, sk, e, c,
+                                             gligen_objs=gligen_objs,
+                                             refs=refs))(
+                    blk, sample, block_skips, emb, encoder_hidden_states)
             else:
-                sample = UpBlock2D(ch, n_layers, add_upsample=not last, groups=groups,
-                                   quant=cfg.quant, dtype=self.dtype,
-                                   name=f"up_blocks_{i}")(sample, block_skips, emb)
+                blk = UpBlock2D(ch, n_layers, add_upsample=not last, groups=groups,
+                                quant=cfg.quant, dtype=self.dtype,
+                                name=f"up_blocks_{i}")
+                sample = maybe_remat(lambda m, s, sk, e: m(s, sk, e))(
+                    blk, sample, block_skips, emb)
 
         sample = GroupNormAct(groups=groups, eps=1e-5, act="silu", dtype=self.dtype,
                               name="conv_norm_out")(sample)

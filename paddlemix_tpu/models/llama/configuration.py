@@ -43,6 +43,10 @@ class LlamaConfig(BaseConfig):
     # at 7B scale, and the per-layer weight reads become one regular strided
     # stream. Opt-in; dense KV cache only (no paged cache under scan).
     scan_layers: bool = False
+    # rematerialize each decoder layer's activations in backward (reference
+    # `recompute` / torch gradient_checkpointing): trades ~30% step FLOPs for
+    # O(L) -> O(1) layer-activation memory. jax.checkpoint under the hood.
+    gradient_checkpointing: bool = False
 
     @property
     def kv_heads(self) -> int:

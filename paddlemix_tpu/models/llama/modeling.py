@@ -339,9 +339,12 @@ class LlamaModule(nn.Module):
     def setup(self):
         cfg = self.config
         self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype)
+        remat = getattr(cfg, "gradient_checkpointing", False)
         if getattr(cfg, "scan_layers", False):
+            block = nn.remat(_ScanBlock, prevent_cse=False) if remat \
+                else _ScanBlock
             self.layers = nn.scan(
-                _ScanBlock,
+                block,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=cfg.num_hidden_layers,
@@ -393,10 +396,25 @@ class LlamaModule(nn.Module):
                 cur_cache = KVCache(ys[0][:, 0], ys[1][:, 0],
                                     cur_cache.lengths)
         else:
+            remat = getattr(cfg, "gradient_checkpointing", False) \
+                and cur_cache is None
             for i, layer in enumerate(self.layers):
-                x, new_cache = layer(x, positions, segment_ids=segment_ids,
-                                     cache=cur_cache, layer_idx=i,
-                                     rope_override=rope_override)
+                if remat:
+                    # rematerialize the layer in backward (reference
+                    # `recompute`); cache-free training forward only
+                    def run_layer(mdl, x, positions, segment_ids, rope,
+                                  _i=i):
+                        return mdl(x, positions, segment_ids=segment_ids,
+                                   cache=None, layer_idx=_i,
+                                   rope_override=rope)[0]
+
+                    x = nn.remat(run_layer, prevent_cse=False)(
+                        layer, x, positions, segment_ids, rope_override)
+                    new_cache = None
+                else:
+                    x, new_cache = layer(x, positions, segment_ids=segment_ids,
+                                         cache=cur_cache, layer_idx=i,
+                                         rope_override=rope_override)
                 x = shard_activations(x)
                 if new_cache is not None:
                     cur_cache = new_cache

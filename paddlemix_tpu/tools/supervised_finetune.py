@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..auto import AutoModel
+from ..core.modeling import enable_recompute
 from ..datasets import DataLoader, MapDataset, MixTokenMapDataset, load_dataset, pad_collate
 from ..models.llava import llava_loss
 from ..ops.attention import SegmentIds
@@ -71,6 +72,10 @@ def main(config_path: Optional[str] = None, overrides: Optional[Dict[str, Any]] 
 
     model = AutoModel.from_pretrained(cfg["model_name_or_path"],
                                       dtype=jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32)
+    if cfg.get("recompute") or cfg.get("gradient_checkpointing"):
+        # reference configs' "recompute": true (e.g.
+        # paddlemix/config/llava/*.json) -> per-layer remat
+        enable_recompute(model)
     dataset = load_dataset(cfg["dataset_path"])
     max_length = int(cfg.get("max_length", 2048))
     if cfg.get("mixtoken", True):
@@ -83,7 +88,8 @@ def main(config_path: Optional[str] = None, overrides: Optional[Dict[str, Any]] 
         "model_name_or_path", "dataset_path", "max_length", "mixtoken",
         "pad_token_id", "lora", "lora_r", "lora_rank", "lora_alpha",
         "freeze", "freeze_include", "freeze_exclude", "warmup_ratio",
-        "benchmark", "per_device_train_batch_size")}
+        "benchmark", "per_device_train_batch_size", "recompute",
+        "gradient_checkpointing")}
     if unknown:
         logger.warning("ignoring unknown config keys: %s", sorted(unknown))
     args = TrainingArguments.from_dict({k: v for k, v in cfg.items() if k in ta_fields})
