@@ -38,6 +38,8 @@ class SD3TransformerConfig(BaseConfig):
     pooled_projection_dim: int = 2048
     out_channels: int = 16
     pos_embed_max_size: int = 192
+    # per-block remat (reference recompute / enable_gradient_checkpointing)
+    gradient_checkpointing: bool = False
 
     @property
     def hidden_size(self) -> int:
@@ -136,10 +138,16 @@ class SD3TransformerModule(nn.Module):
         context = nn.Dense(d, dtype=self.dtype, name="context_embedder")(encoder_hidden_states)
 
         for i in range(cfg.num_layers):
-            x, context = JointTransformerBlock(
+            blk = JointTransformerBlock(
                 cfg.num_attention_heads, cfg.attention_head_dim,
                 context_pre_only=(i == cfg.num_layers - 1), dtype=self.dtype,
-                name=f"transformer_blocks_{i}")(x, context, temb)
+                name=f"transformer_blocks_{i}")
+            if cfg.gradient_checkpointing:
+                x, context = nn.remat(
+                    lambda m, a, c, t: m(a, c, t), prevent_cse=False)(
+                    blk, x, context, temb)
+            else:
+                x, context = blk(x, context, temb)
 
         mod = nn.Dense(2 * d, dtype=self.dtype, name="norm_out_linear")(nn.silu(temb))
         shift, scale = jnp.split(mod, 2, axis=-1)

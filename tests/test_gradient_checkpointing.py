@@ -154,3 +154,34 @@ def test_sft_recompute_flag(tmp_path):
         "save_steps": 0, "logging_steps": 1, "bf16": False}))
     result = sft_main(str(cfg))
     assert result["final_step"] == 1
+
+
+def test_sd3_remat_grad_parity():
+    from paddlemix_tpu.diffusers.models import (
+        SD3Transformer2DModel,
+        SD3TransformerConfig,
+    )
+
+    kw = dict(sample_size=8, patch_size=2, in_channels=4, num_layers=2,
+              attention_head_dim=8, num_attention_heads=2,
+              joint_attention_dim=16, caption_projection_dim=16,
+              pooled_projection_dim=16, out_channels=4, pos_embed_max_size=8)
+    base = SD3Transformer2DModel.from_config(SD3TransformerConfig(**kw),
+                                             seed=0)
+    remat = SD3Transformer2DModel.from_config(
+        SD3TransformerConfig(**kw, gradient_checkpointing=True), seed=0)
+    lat = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 16))
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (1, 16))
+    t = jnp.asarray([5.0])
+
+    def loss(module):
+        def fn(p):
+            return jnp.mean(jnp.square(
+                module.apply({"params": p}, lat, t, ctx, pooled)))
+        return fn
+
+    l0, g0 = jax.value_and_grad(loss(base.module))(base.params)
+    l1, g1 = jax.value_and_grad(loss(remat.module))(base.params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(_grad_norm(g0), _grad_norm(g1), rtol=1e-5)
