@@ -37,6 +37,8 @@ class DiTConfig(BaseConfig):
     mlp_ratio: float = 4.0
     num_classes: int = 1000
     class_dropout_prob: float = 0.1
+    # per-block remat (reference recompute)
+    gradient_checkpointing: bool = False
 
 
 class DiTBlock(nn.Module):
@@ -99,8 +101,13 @@ class DiTModule(nn.Module):
         c = t_emb + y_emb
 
         for i in range(cfg.num_layers):
-            x = DiTBlock(d, cfg.num_attention_heads, cfg.mlp_ratio, dtype=self.dtype,
-                         name=f"blocks_{i}")(x, c)
+            blk = DiTBlock(d, cfg.num_attention_heads, cfg.mlp_ratio,
+                           dtype=self.dtype, name=f"blocks_{i}")
+            if cfg.gradient_checkpointing:
+                x = nn.remat(lambda m, a, cc: m(a, cc),
+                             prevent_cse=False)(blk, x, c)
+            else:
+                x = blk(x, c)
 
         # final adaLN + linear
         mod = nn.Dense(2 * d, dtype=self.dtype, name="final_adaLN",

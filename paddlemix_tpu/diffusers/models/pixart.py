@@ -32,6 +32,8 @@ class PixArtConfig(BaseConfig):
     attention_head_dim: int = 72
     caption_channels: int = 4096   # T5-XXL
     use_additional_conditions: bool = False  # 1024-model micro-conds
+    # per-block remat (reference recompute)
+    gradient_checkpointing: bool = False
 
 
 class PixArtBlock(nn.Module):
@@ -97,8 +99,13 @@ class PixArtModule(nn.Module):
         c = nn.Dense(d, dtype=self.dtype, name="caption_fc2")(c)
 
         for i in range(cfg.num_layers):
-            x = PixArtBlock(cfg.num_attention_heads, cfg.attention_head_dim,
-                            dtype=self.dtype, name=f"blocks_{i}")(x, t6, c)
+            blk = PixArtBlock(cfg.num_attention_heads, cfg.attention_head_dim,
+                              dtype=self.dtype, name=f"blocks_{i}")
+            if cfg.gradient_checkpointing:
+                x = nn.remat(lambda m, a, t_, cc: m(a, t_, cc),
+                             prevent_cse=False)(blk, x, t6, c)
+            else:
+                x = blk(x, t6, c)
 
         # final adaLN (2-chunk) + unpatchify
         table = self.param("scale_shift_table", nn.initializers.normal(0.02),
