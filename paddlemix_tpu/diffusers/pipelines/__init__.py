@@ -6,6 +6,7 @@ from .pipeline_utils import (
 from .stable_diffusion import StableDiffusionPipeline, StableDiffusionXLPipeline
 from .stable_diffusion_3 import DiTPipeline, StableDiffusion3Pipeline
 from .community import (
+    CLIPGuidedImagesMixingPipeline,
     CLIPGuidedStableDiffusionPipeline,
     ComposableStableDiffusionPipeline,
     EDICTPipeline,

@@ -1025,3 +1025,123 @@ class FabricPipeline(StableDiffusionPipeline):
             return (latents,)
         image = self._decode_latents(latents)
         return (self.image_processor.postprocess(image, output_type),)
+
+
+@register_pipeline
+class CLIPGuidedImagesMixingPipeline(CLIPGuidedStableDiffusionPipeline):
+    """Content/style image mixing under CLIP guidance (reference
+    examples/community/clip_guided_images_mixing_stable_diffusion.py):
+    slerp the two images' VAE latents and their prompts' embeddings, start
+    the denoise from the noised mixed latent, and steer each step toward
+    the slerped CLIP image target."""
+
+    def images_mixing(self, content_image, style_image,
+                      content_prompt: str = "", style_prompt: str = "",
+                      latent_style_strength: float = 0.8,
+                      prompt_style_strength: float = 0.1,
+                      clip_style_strength: float = 0.1,
+                      noise_strength: float = 0.6,
+                      clip_guidance_scale: float = 100.0,
+                      num_inference_steps: int = 25,
+                      guidance_scale: float = 7.5, seed: int = 0,
+                      output_type: str = "pil"):
+        do_cfg = guidance_scale > 1.0
+        c_cond, uncond = self.encode_prompt(content_prompt)
+        s_cond, _ = self.encode_prompt(style_prompt)
+        cond = slerp(prompt_style_strength, c_cond, s_cond)
+        context = jnp.concatenate([uncond, cond]) if do_cfg else cond
+
+        def to_latent(im):
+            arr = jnp.asarray(self.image_processor.preprocess(im))
+            return self.vae.encode(arr.astype(self.vae.dtype)).mode() \
+                .astype(jnp.float32) * self.vae.config.scaling_factor
+
+        lat = slerp(latent_style_strength, to_latent(content_image),
+                    to_latent(style_image))
+
+        # CLIP image-feature target = slerp of the two images' features
+        clip = self.clip_model
+        vc = getattr(clip.config, "vision_config", None) or {}
+        img_size = (vc.get("image_size", 224) if isinstance(vc, dict)
+                    else getattr(vc, "image_size", 224))
+
+        def clip_feat(im):
+            arr = jnp.asarray(self.image_processor.preprocess(im))
+            arr = jax.image.resize(
+                (arr + 1.0) / 2.0,
+                (arr.shape[0], img_size, img_size, arr.shape[-1]),
+                method="bilinear")
+            f = clip.encode_image(arr)
+            return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+
+        target = slerp(clip_style_strength, clip_feat(content_image),
+                       clip_feat(style_image))
+        target = target / jnp.linalg.norm(target, axis=-1, keepdims=True)
+
+        state = self.scheduler.set_timesteps(num_inference_steps)
+        t_start = max(num_inference_steps
+                      - int(num_inference_steps * noise_strength), 0)
+        noise = jax.random.normal(jax.random.PRNGKey(seed), lat.shape,
+                                  jnp.float32)
+        t0 = state.timesteps[t_start].astype(jnp.int32)
+        if hasattr(state, "sigmas"):
+            latents = lat + state.sigmas[t_start] * noise
+        else:
+            latents = self.scheduler.add_noise(lat, noise, t0[None])
+
+        unet, scheduler, vae = self.unet, self.scheduler, self.vae
+        alphas_bar = self.scheduler.alphas_cumprod
+
+        def build():
+            def denoise(unet_params, vae_params, clip_params, latents,
+                        context, state, gs, cgs, target):
+                def clip_loss(latv, eps, t_idx):
+                    ab = alphas_bar[state.timesteps[t_idx]]
+                    x0 = (latv - jnp.sqrt(1 - ab) * eps) / jnp.sqrt(ab)
+                    img = vae.module.apply(
+                        {"params": vae_params},
+                        (x0 / vae.config.scaling_factor).astype(vae.dtype),
+                        method=vae.module.decode).astype(jnp.float32)
+                    img = jax.image.resize(
+                        img, (img.shape[0], img_size, img_size,
+                              img.shape[-1]), method="bilinear")
+                    img = (img + 1.0) / 2.0
+                    feat = clip.module.apply({"params": clip_params}, img,
+                                             method=clip.module.encode_image)
+                    feat = feat / jnp.linalg.norm(feat, axis=-1,
+                                                  keepdims=True)
+                    return -jnp.sum(feat * target)
+
+                def body(i, carry):
+                    latents, state = carry
+                    t = state.timesteps[i]
+                    lat_in = (jnp.concatenate([latents, latents])
+                              if do_cfg else latents)
+                    lat_in = scheduler.scale_model_input(state, lat_in, i)
+                    t_in = jnp.broadcast_to(t, (lat_in.shape[0],))
+                    pred = unet.module.apply(
+                        {"params": unet_params}, lat_in.astype(unet.dtype),
+                        t_in, context.astype(unet.dtype)).astype(jnp.float32)
+                    if do_cfg:
+                        un, co = jnp.split(pred, 2)
+                        pred = un + gs * (co - un)
+                    g = jax.grad(clip_loss)(latents, pred, i)
+                    pred = pred + cgs * g
+                    latents, state = scheduler.step(state, pred, i, latents)
+                    return latents, state
+
+                out, _ = jax.lax.fori_loop(t_start, num_inference_steps,
+                                           body, (latents, state))
+                return out
+
+            return jax.jit(denoise)
+
+        latents = self._jit.get(
+            ("imgmix", lat.shape, num_inference_steps, t_start, do_cfg),
+            build)(self.unet.params, self.vae.params, clip.params, latents,
+                   context, state, jnp.asarray(guidance_scale, jnp.float32),
+                   jnp.asarray(clip_guidance_scale, jnp.float32), target)
+        if output_type == "latent":
+            return (latents,)
+        image = self._decode_latents(latents)
+        return (self.image_processor.postprocess(image, output_type),)

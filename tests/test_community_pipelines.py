@@ -263,3 +263,38 @@ def test_fabric_pipeline_feedback():
                   feedback_start_ratio=0.5, feedback_end_ratio=0.5,
                   output_type="np")[0]
     np.testing.assert_allclose(masked, base, atol=2e-2)
+
+
+def test_images_mixing_pipeline():
+    from paddlemix_tpu.diffusers.pipelines import (
+        CLIPGuidedImagesMixingPipeline,
+    )
+    from paddlemix_tpu.models.clip import CLIPConfig, CLIPModel
+
+    tok = tiny_tokenizer()
+    clip = CLIPModel.from_config(CLIPConfig.from_dict(dict(
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=1, num_attention_heads=2,
+                           image_size=16, patch_size=8),
+        text_config=dict(vocab_size=tok.vocab_size, hidden_size=32,
+                         intermediate_size=64, num_hidden_layers=1,
+                         num_attention_heads=2, max_position_embeddings=16,
+                         eos_token_id=tok.eos_token_id),
+        projection_dim=16)))
+    pipe = CLIPGuidedImagesMixingPipeline(scheduler=DDPMScheduler(),
+                                          **_sd_parts())
+    pipe.set_clip(clip, tok)
+    content = (np.random.RandomState(0).rand(16, 16, 3) * 255).astype(np.uint8)
+    style = (np.random.RandomState(7).rand(16, 16, 3) * 255).astype(np.uint8)
+    img = pipe.images_mixing(content, style, content_prompt="a photo",
+                             style_prompt="a painting",
+                             num_inference_steps=3, noise_strength=0.7,
+                             clip_guidance_scale=20.0, output_type="np")[0]
+    assert img.shape == (1, 16, 16, 3) and np.isfinite(img).all()
+    # style strength must matter
+    img2 = pipe.images_mixing(content, style, content_prompt="a photo",
+                              style_prompt="a painting",
+                              latent_style_strength=0.1,
+                              num_inference_steps=3, noise_strength=0.7,
+                              clip_guidance_scale=20.0, output_type="np")[0]
+    assert not np.allclose(img, img2)
