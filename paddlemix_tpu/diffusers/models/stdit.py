@@ -41,6 +41,8 @@ class STDiT2Config(BaseConfig):
     mlp_ratio: float = 4.0
     caption_channels: int = 4096
     model_max_length: int = 200
+    # per-block remat (reference recompute)
+    gradient_checkpointing: bool = False
 
 
 def _modulate(x, shift, scale):
@@ -159,8 +161,13 @@ class STDiT2Module(nn.Module):
         y = nn.Dense(d, dtype=self.dtype, name="y_embedder")(y)
 
         for i in range(cfg.depth):
-            x = STDiT2Block(cfg.num_heads, cfg.mlp_ratio, dtype=self.dtype,
-                            name=f"blocks_{i}")(x, y, t6, t3, T, S)
+            blk = STDiT2Block(cfg.num_heads, cfg.mlp_ratio, dtype=self.dtype,
+                              name=f"blocks_{i}")
+            if cfg.gradient_checkpointing:
+                x = nn.remat(lambda m, a, yy, a6, a3: m(a, yy, a6, a3, T, S),
+                             prevent_cse=False)(blk, x, y, t6, t3)
+            else:
+                x = blk(x, y, t6, t3, T, S)
 
         # final layer: adaLN + unpatchify, learned-sigma output (2x channels)
         tableF = self.param("final_scale_shift", nn.initializers.normal(
