@@ -43,6 +43,9 @@ class LlamaConfig(BaseConfig):
     # at 7B scale, and the per-layer weight reads become one regular strided
     # stream. Opt-in; dense KV cache only (no paged cache under scan).
     scan_layers: bool = False
+    # int8 KV cache with per-(token, head) scales (reference deploy
+    # --cachekv_int8): halves decode cache-read bytes at long context
+    cachekv_int8: bool = False
     # rematerialize each decoder layer's activations in backward (reference
     # `recompute` / torch gradient_checkpointing): trades ~30% step FLOPs for
     # O(L) -> O(1) layer-activation memory. jax.checkpoint under the hood.

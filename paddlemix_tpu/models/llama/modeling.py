@@ -48,6 +48,41 @@ class KVCache(NamedTuple):
         return self.k.shape[2] - 1
 
 
+class Int8KVCache(NamedTuple):
+    """int8 KV cache with per-(token, head) scales (reference deploy
+    cachekv_int8, deploy/llava/README.md --cachekv_int8): halves the
+    per-token HBM cache reads that dominate long-context decode."""
+
+    k: jnp.ndarray        # (L, B, S, kvh, hd) int8
+    v: jnp.ndarray
+    k_scale: jnp.ndarray  # (L, B, S, kvh) float32
+    v_scale: jnp.ndarray
+    lengths: jnp.ndarray  # (B,) int32
+
+    @classmethod
+    def create(cls, config: LlamaConfig, batch: int, max_len: int, dtype=None):
+        slots = -(-max_len // 128) * 128 + 1
+        shape = (config.num_hidden_layers, batch, slots, config.kv_heads,
+                 config.head_dim_)
+        return cls(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                   jnp.zeros(shape[:-1], jnp.float32),
+                   jnp.zeros(shape[:-1], jnp.float32),
+                   jnp.zeros((batch,), jnp.int32))
+
+    @property
+    def max_len(self):
+        return self.k.shape[2] - 1
+
+
+def _quantize_kv(x):
+    """(B, S, H, D) -> int8 values + per-(token, head) scale."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 class RMSNorm(nn.Module):
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
@@ -191,6 +226,30 @@ class LlamaAttention(nn.Module):
                 mask = key_pos <= q_pos
                 attn_bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
                 out = attention_xla(q, k_cache, v_cache, bias=attn_bias)
+        elif isinstance(cache, Int8KVCache):
+            # cachekv_int8 (reference deploy --cachekv_int8): values stored
+            # int8 with per-(token, head) scales; halves cache-read HBM bytes
+            L = cache.k.shape[2]
+            write_idx = jnp.where(positions >= 0,
+                                  jnp.minimum(positions, L - 1), L - 1)
+            bidx = jnp.arange(b)[:, None]
+            kq, ks = _quantize_kv(k)
+            vq, vs = _quantize_kv(v)
+            ck = cache.k.at[layer_idx, bidx, write_idx].set(kq)
+            cv = cache.v.at[layer_idx, bidx, write_idx].set(vq)
+            cks = cache.k_scale.at[layer_idx, bidx, write_idx].set(ks)
+            cvs = cache.v_scale.at[layer_idx, bidx, write_idx].set(vs)
+            new_cache = Int8KVCache(ck, cv, cks, cvs, cache.lengths)
+            k_cache = (ck[layer_idx].astype(jnp.float32)
+                       * cks[layer_idx][..., None]).astype(self.dtype)
+            v_cache = (cv[layer_idx].astype(jnp.float32)
+                       * cvs[layer_idx][..., None]).astype(self.dtype)
+            key_pos = jnp.arange(L)[None, None, None, :]
+            q_pos = positions[:, None, :, None]
+            mask = key_pos <= q_pos
+            attn_bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
+            out = attention_xla(q, k_cache[:, :L - 1], v_cache[:, :L - 1],
+                                bias=attn_bias[..., : L - 1])
         elif cache is not None:
             # in-place update of the stacked (layers, B, L, kvh, hd) buffers:
             # scatter into the while_loop-carried arrays directly (a per-layer
@@ -379,8 +438,8 @@ class LlamaModule(nn.Module):
         if isinstance(cur_cache, PagedKVCache):
             cur_cache = cur_cache.allocate_for(positions)  # once per step
         if getattr(cfg, "scan_layers", False):
-            assert not isinstance(cur_cache, PagedKVCache), \
-                "scan_layers supports the dense KV cache only"
+            assert not isinstance(cur_cache, (PagedKVCache, Int8KVCache)), \
+                "scan_layers supports the dense bf16 KV cache only"
             assert rope_override is None, \
                 "scan_layers does not support rope_override"
             if cur_cache is None:
@@ -423,7 +482,7 @@ class LlamaModule(nn.Module):
         out_cache = None
         if cache is not None:
             valid = (positions >= 0).sum(axis=-1).astype(jnp.int32)
-            if isinstance(cur_cache, PagedKVCache):
+            if isinstance(cur_cache, (PagedKVCache, Int8KVCache)):
                 out_cache = cur_cache._replace(lengths=cache.lengths + valid)
             else:
                 out_cache = KVCache(cur_cache.k, cur_cache.v, cache.lengths + valid)
@@ -490,6 +549,8 @@ class LlamaForCausalLM(PretrainedModel):
         return out
 
     def init_cache(self, batch: int, max_len: int, dtype=None):
+        if getattr(self.config, "cachekv_int8", False):
+            return Int8KVCache.create(self.config, batch, max_len)
         return KVCache.create(self.config, batch, max_len,
                               dtype=dtype or self.dtype)
 

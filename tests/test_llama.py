@@ -213,3 +213,44 @@ def test_generate_bucketing_no_retrace(model):
     # bucketed result matches the unbucketed computation
     ref5 = greedy_generate(model, ids5, max_new_tokens=4, bucket=None)
     np.testing.assert_array_equal(np.asarray(out5), np.asarray(ref5))
+
+
+def test_cachekv_int8_generation_parity():
+    """cachekv_int8 (reference deploy --cachekv_int8): int8 cache decode
+    must track the bf16-cache decode closely enough for identical greedy
+    tokens on a tiny model, and the stored cache must actually be int8."""
+    from paddlemix_tpu.models.llama.modeling import (
+        Int8KVCache,
+        greedy_generate,
+    )
+
+    kw = dict(vocab_size=64, hidden_size=32, intermediate_size=64,
+              num_hidden_layers=2, num_attention_heads=2,
+              num_key_value_heads=2, max_position_embeddings=64)
+    base = LlamaForCausalLM.from_config(LlamaConfig(**kw), seed=0)
+    q8 = LlamaForCausalLM.from_config(LlamaConfig(**kw, cachekv_int8=True),
+                                      seed=1)
+    q8.params = base.params
+
+    cache = q8.init_cache(1, 32)
+    assert isinstance(cache, Int8KVCache)
+    assert cache.k.dtype == jnp.int8
+
+    ids = jnp.asarray([[3, 9, 17, 4]], jnp.int32)
+    ref = greedy_generate(base, ids, max_new_tokens=8, eos_token_id=-1,
+                          bucket=None)
+    out = greedy_generate(q8, ids, max_new_tokens=8, eos_token_id=-1,
+                          bucket=None)
+    # random-init logits are nearly flat, so argmax can flip after a few
+    # steps of int8 rounding; the leading tokens must still agree
+    np.testing.assert_array_equal(np.asarray(out)[:, :2],
+                                  np.asarray(ref)[:, :2])
+
+    # logits parity through a cached forward (prefill) is tight
+    c0 = base.init_cache(1, 32)
+    c1 = q8.init_cache(1, 32)
+    pos = jnp.arange(4)[None]
+    l0, _ = base.module.apply({"params": base.params}, ids, pos, cache=c0)
+    l1, _ = q8.module.apply({"params": base.params}, ids, pos, cache=c1)
+    rel = float(jnp.abs(l1 - l0).max() / (jnp.abs(l0).max() + 1e-9))
+    assert rel < 5e-2, rel
