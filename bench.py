@@ -77,7 +77,8 @@ def bench_llava_decode():
                          num_attention_heads=32, num_key_value_heads=32,
                          max_position_embeddings=4096, quant=quant,
                          fused_qkv=os.environ.get("BENCH_FUSED", "0") == "1",
-                         scan_layers=os.environ.get("BENCH_SCAN", "0") == "1"),
+                         scan_layers=os.environ.get("BENCH_SCAN", "0") == "1",
+                         cachekv_int8=os.environ.get("BENCH_KV", "") == "int8"),
     )
     model = LlavaForConditionalGeneration(cfg, dtype=jnp.bfloat16)
     args, kwargs = LlavaForConditionalGeneration.example_inputs(cfg)
