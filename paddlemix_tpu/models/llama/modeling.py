@@ -240,16 +240,28 @@ class LlamaAttention(nn.Module):
             cks = cache.k_scale.at[layer_idx, bidx, write_idx].set(ks)
             cvs = cache.v_scale.at[layer_idx, bidx, write_idx].set(vs)
             new_cache = Int8KVCache(ck, cv, cks, cvs, cache.lengths)
-            k_cache = (ck[layer_idx].astype(jnp.float32)
-                       * cks[layer_idx][..., None]).astype(self.dtype)
-            v_cache = (cv[layer_idx].astype(jnp.float32)
-                       * cvs[layer_idx][..., None]).astype(self.dtype)
-            key_pos = jnp.arange(L)[None, None, None, :]
-            q_pos = positions[:, None, :, None]
-            mask = key_pos <= q_pos
-            attn_bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
-            out = attention_xla(q, k_cache[:, :L - 1], v_cache[:, :L - 1],
-                                bias=attn_bias[..., : L - 1])
+            from ...ops.decode_attention import decode_attention_int8
+            from ...ops.dispatch import use_pallas
+
+            if s == 1 and use_pallas() and hd % 64 == 0 \
+                    and (L - 1) % 128 == 0 and L - 1 >= 2048:
+                # fused int8 decode kernel: dequant in VMEM, half the HBM
+                # cache-read bytes of the bf16 kernel
+                out = decode_attention_int8(
+                    q, ck[layer_idx, :, :L - 1], cv[layer_idx, :, :L - 1],
+                    cks[layer_idx, :, :L - 1], cvs[layer_idx, :, :L - 1],
+                    positions[:, 0] + 1)
+            else:
+                k_cache = (ck[layer_idx].astype(jnp.float32)
+                           * cks[layer_idx][..., None]).astype(self.dtype)
+                v_cache = (cv[layer_idx].astype(jnp.float32)
+                           * cvs[layer_idx][..., None]).astype(self.dtype)
+                key_pos = jnp.arange(L)[None, None, None, :]
+                q_pos = positions[:, None, :, None]
+                mask = key_pos <= q_pos
+                attn_bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
+                out = attention_xla(q, k_cache[:, :L - 1], v_cache[:, :L - 1],
+                                    bias=attn_bias[..., : L - 1])
         elif cache is not None:
             # in-place update of the stacked (layers, B, L, kvh, hd) buffers:
             # scatter into the while_loop-carried arrays directly (a per-layer

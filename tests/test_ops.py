@@ -306,3 +306,33 @@ def test_tome_merge_unmerge():
     # ratio 0 -> identity
     m0, u0 = build_tome(x, gh, gw, ratio=0.0)
     np.testing.assert_allclose(np.asarray(u0(m0(x))), np.asarray(x))
+
+
+def test_decode_attention_int8(pallas_interpret):
+    """int8-cache fused decode kernel vs the dequantized XLA reference."""
+    from paddlemix_tpu.ops.decode_attention import (
+        decode_attention_int8,
+        decode_attention_xla,
+    )
+
+    b, L, hq, kvh, d = 2, 256, 4, 2, 64
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (b, 1, hq, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, L, kvh, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, L, kvh, d), jnp.float32)
+    lengths = jnp.asarray([100, 256], jnp.int32)
+
+    def quant(x):
+        amax = jnp.max(jnp.abs(x), axis=-1)
+        s = jnp.maximum(amax / 127.0, 1e-8)
+        return jnp.clip(jnp.round(x / s[..., None]), -127, 127).astype(jnp.int8), s
+
+    kq, ksc = quant(k)
+    vq, vsc = quant(v)
+    kd = kq.astype(jnp.float32) * ksc[..., None]
+    vd = vq.astype(jnp.float32) * vsc[..., None]
+    ref = decode_attention_xla(q, kd, vd, lengths)
+    out = decode_attention_int8(q, kq, vq, ksc, vsc, lengths, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=1e-2)
