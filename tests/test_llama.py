@@ -254,3 +254,35 @@ def test_cachekv_int8_generation_parity():
     l1, _ = q8.module.apply({"params": base.params}, ids, pos, cache=c1)
     rel = float(jnp.abs(l1 - l0).max() / (jnp.abs(l0).max() + 1e-9))
     assert rel < 5e-2, rel
+
+
+def test_cachekv_int8_kernel_branch_long_context(monkeypatch):
+    """At ctx >= 2048 the Int8KVCache decode routes through the fused
+    Pallas int8 kernel (interpret mode here); output must match the XLA
+    dequant fallback."""
+    monkeypatch.setenv("PMIX_KERNEL_BACKEND", "pallas")
+    monkeypatch.setenv("PMIX_PALLAS_INTERPRET", "1")
+
+    kw = dict(vocab_size=64, hidden_size=128, intermediate_size=64,
+              num_hidden_layers=1, num_attention_heads=2,
+              num_key_value_heads=2, max_position_embeddings=4096)
+    m = LlamaForCausalLM.from_config(LlamaConfig(**kw, cachekv_int8=True),
+                                     seed=0)
+    cache = m.init_cache(1, 2048)
+    assert cache.max_len == 2048
+    ids = jnp.asarray([[7]], jnp.int32)
+    pos = jnp.asarray([[100]], jnp.int32)
+    # seed the cache with some history so attention has real keys
+    hist_ids = jnp.arange(1, 33, dtype=jnp.int32)[None]
+    hist_pos = jnp.arange(32)[None]
+    _, cache = m.module.apply({"params": m.params}, hist_ids, hist_pos,
+                              cache=cache)
+    pos = jnp.asarray([[32]], jnp.int32)
+    logits_pallas, _ = m.module.apply({"params": m.params}, ids, pos,
+                                      cache=cache)
+
+    monkeypatch.setenv("PMIX_KERNEL_BACKEND", "xla")
+    logits_xla, _ = m.module.apply({"params": m.params}, ids, pos,
+                                   cache=cache)
+    np.testing.assert_allclose(np.asarray(logits_pallas),
+                               np.asarray(logits_xla), atol=2e-3, rtol=1e-2)
