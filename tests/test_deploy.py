@@ -88,3 +88,53 @@ def test_qwen_vl_export(tmp_path):
     enc = load_fn(os.path.join(out, "image_encoder.jaxexport"))
     feats = enc(model.params, jnp.zeros((1, 32, 32, 3), jnp.float32))
     assert feats.shape == (1, 4, 32)  # num_queries x text hidden
+
+
+def test_llava_export_and_predict(tmp_path):
+    """deploy/llava export_model.py + predict.py run a full static-serving
+    round trip (reference deploy/llava/run_static_predict.py)."""
+    import os
+    import subprocess
+    import sys
+
+    from paddlemix_tpu.models.llava import (
+        LlavaConfig,
+        LlavaForConditionalGeneration,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = LlavaConfig(
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=1, num_attention_heads=2,
+                           image_size=32, patch_size=16),
+        text_config=dict(vocab_size=64, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=1, num_attention_heads=2,
+                         num_key_value_heads=2, max_position_embeddings=64),
+        image_token_index=63)
+    model = LlavaForConditionalGeneration(cfg)
+    import jax
+
+    model.params = model.module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, cfg.num_image_tokens + 2),
+                                         jnp.int32),
+        pixel_values=jnp.zeros((1, 32, 32, 3)))["params"]
+    ckpt = str(tmp_path / "export")
+    model.save_pretrained(ckpt)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo,
+               LLAVA_PROMPT_LEN="16", LLAVA_MAX_LEN="32")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "deploy/llava/export_model.py"),
+         "--model-path", ckpt, "--output", ckpt, "--prompt-len", "16",
+         "--max-len", "32"],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "deploy/llava/predict.py"),
+         "--export-dir", ckpt, "--ids", "1,5,9", "--max-new-tokens", "4",
+         "--eos", "-1"],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "tokens:" in r.stdout
+    assert len(r.stdout.split("tokens:")[1].strip().strip("[]").split(",")) == 4
