@@ -145,3 +145,55 @@ def test_sd15_and_controlnet_export(tmp_path):
         capture_output=True, text=True, env=ENV, timeout=420)
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(os.path.join(out2, "cn_unet_step.jaxexport"))
+
+
+def test_sdxl_export_and_infer(tmp_path):
+    """deploy/sdxl export + static infer round trip on a tiny SDXL-style
+    UNet (reference deploy infer.py drivers)."""
+    import os
+    import subprocess
+    import sys
+
+    import jax.numpy as jnp
+
+    from paddlemix_tpu.diffusers.models import (
+        AutoencoderKL,
+        AutoencoderKLConfig,
+        UNet2DConditionConfig,
+        UNet2DConditionModel,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    unet = UNet2DConditionModel.from_config(UNet2DConditionConfig.from_dict(
+        dict(sample_size=8, block_out_channels=(16, 32),
+             down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+             up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+             layers_per_block=1, cross_attention_dim=16,
+             attention_head_dim=2, norm_num_groups=8,
+             addition_embed_type="text_time", addition_time_embed_dim=4,
+             projection_class_embeddings_input_dim=4 * 6 + 8)))
+    vae = AutoencoderKL.from_config(AutoencoderKLConfig(
+        block_out_channels=(8, 16),
+        down_block_types=("DownEncoderBlock2D",) * 2,
+        up_block_types=("UpDecoderBlock2D",) * 2, layers_per_block=1,
+        latent_channels=4, norm_num_groups=4))
+    out = str(tmp_path / "export")
+    unet.save_pretrained(os.path.join(out, "unet"))
+    vae.save_pretrained(os.path.join(out, "vae"))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "deploy/sdxl/export_model.py"),
+         "--model-path", out, "--output", out, "--height", "32",
+         "--width", "32"],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    png = str(tmp_path / "out.png")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "deploy/sdxl/infer.py"),
+         "--export-dir", out, "--steps", "2", "--height", "32",
+         "--width", "32", "--random-context", "--output", png],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(png) and "it/s" in r.stdout
