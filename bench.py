@@ -68,13 +68,21 @@ def bench_llava_decode():
     quant = os.environ.get("BENCH_QUANT", "a8w8")
     if quant in ("none", "bf16"):
         quant = None
+    tiny = os.environ.get("BENCH_TINY") == "1"  # CI smoke of this path
+    vis = (dict(hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+                num_attention_heads=2, image_size=28, patch_size=14,
+                projection_dim=16) if tiny else
+           dict(hidden_size=1024, intermediate_size=4096,
+                num_hidden_layers=24, num_attention_heads=16,
+                image_size=336, patch_size=14, projection_dim=768))
     cfg = LlavaConfig(
-        vision_config=dict(hidden_size=1024, intermediate_size=4096,
-                           num_hidden_layers=24, num_attention_heads=16,
-                           image_size=336, patch_size=14, projection_dim=768),
-        text_config=dict(vocab_size=32000, hidden_size=4096,
-                         intermediate_size=11008, num_hidden_layers=32,
-                         num_attention_heads=32, num_key_value_heads=32,
+        vision_config=vis,
+        text_config=dict(vocab_size=32000,
+                         hidden_size=32 if tiny else 4096,
+                         intermediate_size=64 if tiny else 11008,
+                         num_hidden_layers=1 if tiny else 32,
+                         num_attention_heads=2 if tiny else 32,
+                         num_key_value_heads=2 if tiny else 32,
                          max_position_embeddings=4096, quant=quant,
                          fused_qkv=os.environ.get("BENCH_FUSED", "0") == "1",
                          scan_layers=os.environ.get("BENCH_SCAN", "0") == "1",
@@ -86,12 +94,13 @@ def bench_llava_decode():
         lambda: model.module.init(jax.random.PRNGKey(0), *args, **kwargs))["params"]
     model.params = _constant_fill(shapes)
 
-    n_img = cfg.num_image_tokens  # 576
+    n_img = cfg.num_image_tokens  # 576 (4 under BENCH_TINY)
     text_len = 32
     ids = np.full((1, n_img + text_len), 5, np.int32)
     ids[:, 1:1 + n_img] = cfg.image_token_index
     ids = jnp.asarray(ids)
-    px = jnp.zeros((1, 336, 336, 3), jnp.float32)
+    isz = cfg.vision.image_size
+    px = jnp.zeros((1, isz, isz, 3), jnp.float32)
 
     # NOTE: through the axon relay, block_until_ready can return before
     # execution finishes — a host fetch of the (tiny) output is the only
@@ -145,15 +154,21 @@ def bench_clip_pairs():
 
     from paddlemix_tpu.models.clip import CLIPConfig, CLIPModel
 
-    batch = int(os.environ.get("BENCH_BATCH", 256))
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    batch = int(os.environ.get("BENCH_BATCH", 8 if tiny else 256))
     cfg = CLIPConfig(
-        vision_config=dict(hidden_size=768, intermediate_size=3072,
-                           num_hidden_layers=12, num_attention_heads=12,
-                           image_size=224, patch_size=16),
-        text_config=dict(hidden_size=512, intermediate_size=2048,
-                         num_hidden_layers=12, num_attention_heads=8,
+        vision_config=dict(hidden_size=32 if tiny else 768,
+                           intermediate_size=64 if tiny else 3072,
+                           num_hidden_layers=1 if tiny else 12,
+                           num_attention_heads=2 if tiny else 12,
+                           image_size=32 if tiny else 224,
+                           patch_size=16),
+        text_config=dict(hidden_size=32 if tiny else 512,
+                         intermediate_size=64 if tiny else 2048,
+                         num_hidden_layers=1 if tiny else 12,
+                         num_attention_heads=2 if tiny else 8,
                          max_position_embeddings=77),
-        projection_dim=512,
+        projection_dim=16 if tiny else 512,
     )
     model = CLIPModel(cfg, dtype=jnp.bfloat16)
     args, kwargs = CLIPModel.example_inputs(cfg)
@@ -161,7 +176,8 @@ def bench_clip_pairs():
         lambda: model.module.init(jax.random.PRNGKey(0), *args, **kwargs))["params"]
     model.params = _constant_fill(shapes)
 
-    px = jnp.zeros((batch, 224, 224, 3), jnp.bfloat16)
+    isz = 32 if tiny else 224
+    px = jnp.zeros((batch, isz, isz, 3), jnp.bfloat16)
     ids = jnp.ones((batch, 77), jnp.int32)
 
     @jax.jit

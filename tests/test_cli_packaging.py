@@ -100,3 +100,28 @@ def test_cli_merge_lora(tmp_path):
     changed = [k for k in flat0
                if not np.allclose(np.asarray(flat0[k]), np.asarray(flat1[k]))]
     assert changed and all("q_proj" in str(k) for k in changed)
+
+
+def test_bench_modes_tiny_smoke():
+    """The driver-run bench contract must not bitrot: BENCH_TINY=1 runs the
+    llava and clip modes end-to-end on CPU and each prints its JSON line."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for mode, metric in (("llava", "llava7b_decode_tokens_per_sec_per_chip"),
+                         ("clip", "clip_vitb16_pairs_per_sec_per_chip")):
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo,
+                   BENCH_MODE=mode, BENCH_TINY="1", BENCH_NEW_TOKENS="4",
+                   BENCH_QUANT="none", BENCH_REPS="1")
+        r = subprocess.run([sys.executable, os.path.join(repo, "bench.py")],
+                           capture_output=True, text=True, env=env,
+                           timeout=420)
+        assert r.returncode == 0, (mode, r.stderr[-2000:])
+        line = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        parsed = _json.loads(line)
+        assert parsed["metric"] == metric
+        assert parsed["value"] > 0
