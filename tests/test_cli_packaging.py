@@ -112,10 +112,13 @@ def test_bench_modes_tiny_smoke():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for mode, metric in (("llava", "llava7b_decode_tokens_per_sec_per_chip"),
-                         ("clip", "clip_vitb16_pairs_per_sec_per_chip")):
+                         ("clip", "clip_vitb16_pairs_per_sec_per_chip"),
+                         ("", "sdxl_64px_2step_imgs_per_sec_per_chip")):
         env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo,
-                   BENCH_MODE=mode, BENCH_TINY="1", BENCH_NEW_TOKENS="4",
+                   BENCH_TINY="1", BENCH_NEW_TOKENS="4", BENCH_STEPS="2",
                    BENCH_QUANT="none", BENCH_REPS="1")
+        if mode:
+            env["BENCH_MODE"] = mode
         r = subprocess.run([sys.executable, os.path.join(repo, "bench.py")],
                            capture_output=True, text=True, env=env,
                            timeout=420)
