@@ -52,9 +52,9 @@ def main():
     if args.ids:
         text_ids = [int(t) for t in args.ids.split(",")]
     else:
-        from paddlemix_tpu.models.clip.tokenizer import CLIPTokenizer
+        from paddlemix_tpu.utils.tokenizer import load_tokenizer
 
-        tok = CLIPTokenizer.from_pretrained(args.tokenizer or args.export_dir)
+        tok = load_tokenizer(args.tokenizer or args.export_dir)
         text_ids = tok.encode(args.prompt or "describe the image")
 
     if args.image:
