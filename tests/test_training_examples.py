@@ -309,3 +309,19 @@ def test_animate_anyone_stage2_freezes_base():
         capture_output=True, text=True, env=env, timeout=420)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "frozen weights changed: 0" in r.stdout
+
+
+def test_stable_cascade_training_example(tmp_path):
+    """Stage-C Wuerstchen-schedule prior training runs and saves."""
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "c_out")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "/root/repo/examples/train_stable_cascade.py",
+         "--steps", "3", "--output", out],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "loss=" in r.stdout and "saved stage-c unet" in r.stdout
