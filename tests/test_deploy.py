@@ -138,3 +138,48 @@ def test_llava_export_and_predict(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "tokens:" in r.stdout
     assert len(r.stdout.split("tokens:")[1].strip().strip("[]").split(",")) == 4
+
+
+def test_qwen2_vl_predict_roundtrip(tmp_path):
+    """deploy/qwen2_vl export + static predict loop (M-RoPE decode)."""
+    import os
+    import subprocess
+    import sys
+
+    import jax
+
+    from paddlemix_tpu.models.qwen2_vl import (
+        Qwen2VLConfig,
+        Qwen2VLForConditionalGeneration,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = Qwen2VLConfig(
+        vision_config=dict(hidden_size=32, intermediate_size=64, depth=1,
+                           num_heads=2, patch_size=4, temporal_patch_size=1,
+                           spatial_merge_size=2, in_channels=3,
+                           embed_dim=32),
+        text_config=dict(vocab_size=64, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=1, num_attention_heads=2,
+                         num_key_value_heads=2, max_position_embeddings=128),
+        image_token_id=63)
+    model = Qwen2VLForConditionalGeneration.from_config(cfg)
+    ckpt = str(tmp_path / "export")
+    model.save_pretrained(ckpt)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo,
+               QWEN2VL_PROMPT_LEN="16", QWEN2VL_VISION_PATCHES="16",
+               QWEN2VL_MAX_LEN="64")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "deploy/qwen2_vl/export_model.py"),
+         "--model-path", ckpt, "--output", ckpt, "--prompt-len", "16",
+         "--vision-patches", "16", "--max-len", "64"],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "deploy/qwen2_vl/predict.py"),
+         "--export-dir", ckpt, "--ids", "1,5,9", "--max-new-tokens", "4"],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "tokens:" in r.stdout
