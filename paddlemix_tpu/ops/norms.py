@@ -353,13 +353,22 @@ _fused_adaln_pallas.defvjp(_fused_adaln_fwd, _fused_adaln_bwd)
 
 
 # =============================================================== public API
-def _pallas_ok(h: int) -> bool:
-    return use_pallas() and h % 128 == 0
+# Below this row count a Pallas launch is pure overhead: the kernel's win is
+# HBM bandwidth on big tensors, while at decode shapes (1-8 rows/token) the
+# custom call costs launch latency AND blocks XLA from fusing the norm into
+# its neighbors (32-layer llama decode = 64 norm calls/token on the
+# latency-bound path).
+_MIN_PALLAS_ROWS = 64
+
+
+def _pallas_ok(h: int, rows: int = _MIN_PALLAS_ROWS) -> bool:
+    return use_pallas() and h % 128 == 0 and rows >= _MIN_PALLAS_ROWS
 
 
 def rms_norm(x, weight, eps: float = 1e-6):
     h = x.shape[-1]
-    if not _pallas_ok(h):
+    rows = int(np.prod(x.shape[:-1]))
+    if not _pallas_ok(h, rows):
         return rms_norm_xla(x, weight, eps)
     x2d = x.reshape(-1, h)
     return _rms_norm_pallas(x2d, weight, eps).reshape(x.shape)
@@ -367,7 +376,8 @@ def rms_norm(x, weight, eps: float = 1e-6):
 
 def layer_norm(x, weight=None, bias=None, eps: float = 1e-5):
     h = x.shape[-1]
-    if weight is None or bias is None or not _pallas_ok(h):
+    rows = int(np.prod(x.shape[:-1]))
+    if weight is None or bias is None or not _pallas_ok(h, rows):
         return layer_norm_xla(x, weight, bias, eps)
     x2d = x.reshape(-1, h)
     return _layer_norm_pallas(x2d, weight, bias, eps).reshape(x.shape)
