@@ -51,6 +51,19 @@ def test_rms_norm_matches_xla_and_grads():
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]), atol=1e-3)
 
 
+def test_norms_decode_shapes_match():
+    # below the Pallas row threshold (decode shapes) the public entry points
+    # take the XLA composition — outputs must stay identical either way
+    x = rand(1, 1, 4096)
+    w = rand(4096, key=1) * 0.1 + 1.0
+    b = rand(4096, key=2) * 0.1
+    np.testing.assert_allclose(
+        np.asarray(ops.rms_norm(x, w)), np.asarray(rms_norm_xla(x, w)), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ops.layer_norm(x, w, b)),
+        np.asarray(layer_norm_xla(x, w, b)), atol=1e-5)
+
+
 def test_layer_norm_matches_xla_and_grads():
     x = rand(8, 128)
     w = rand(128, key=1) * 0.1 + 1.0
