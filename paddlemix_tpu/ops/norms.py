@@ -361,7 +361,7 @@ _fused_adaln_pallas.defvjp(_fused_adaln_fwd, _fused_adaln_bwd)
 _MIN_PALLAS_ROWS = 64
 
 
-def _pallas_ok(h: int, rows: int = _MIN_PALLAS_ROWS) -> bool:
+def _pallas_ok(h: int, rows: int) -> bool:
     return use_pallas() and h % 128 == 0 and rows >= _MIN_PALLAS_ROWS
 
 
@@ -388,14 +388,18 @@ def adaptive_layer_norm(x, scale, shift, weight=None, bias=None, eps: float = 1e
 
     Pallas forward only (the op is inference-hot in the reference's
     simplified_sd3.py:64-108); gradients flow through the XLA composition."""
-    if weight is not None or bias is not None or not _pallas_ok(x.shape[-1]) or x.ndim != 3:
+    rows = int(np.prod(x.shape[:-1]))
+    if weight is not None or bias is not None \
+            or not _pallas_ok(x.shape[-1], rows) or x.ndim != 3:
         return adaptive_layer_norm_xla(x, scale, shift, weight, bias, eps)
     return _adaln_pallas(x, scale, shift, eps)
 
 
 def fused_adaln_scale_residual(residual, x, gate, scale, shift,
                                weight=None, bias=None, eps: float = 1e-5):
-    if weight is not None or bias is not None or not _pallas_ok(x.shape[-1]) or x.ndim != 3:
+    rows = int(np.prod(x.shape[:-1]))
+    if weight is not None or bias is not None \
+            or not _pallas_ok(x.shape[-1], rows) or x.ndim != 3:
         return fused_adaln_scale_residual_xla(residual, x, gate, scale, shift, weight, bias, eps)
     return _fused_adaln_pallas(residual, x, gate, scale, shift, eps)
 

@@ -51,9 +51,21 @@ def test_rms_norm_matches_xla_and_grads():
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]), atol=1e-3)
 
 
-def test_norms_decode_shapes_match():
+def test_norms_decode_shapes_match(monkeypatch):
     # below the Pallas row threshold (decode shapes) the public entry points
-    # take the XLA composition — outputs must stay identical either way
+    # take the XLA composition — outputs must stay identical either way.
+    # Assert the DISPATCH too: the Pallas kernels must not be invoked for
+    # sub-threshold rows (a regression back to Pallas adds launch latency to
+    # every norm on the latency-bound decode path).
+    from paddlemix_tpu.ops import norms as norms_mod
+
+    def _boom(*a, **k):
+        raise AssertionError("Pallas norm invoked for sub-threshold rows")
+
+    monkeypatch.setattr(norms_mod, "_rms_norm_pallas", _boom)
+    monkeypatch.setattr(norms_mod, "_layer_norm_pallas", _boom)
+    monkeypatch.setattr(norms_mod, "_adaln_pallas", _boom)
+    monkeypatch.setattr(norms_mod, "_fused_adaln_pallas", _boom)
     x = rand(1, 1, 4096)
     w = rand(4096, key=1) * 0.1 + 1.0
     b = rand(4096, key=2) * 0.1
@@ -62,6 +74,12 @@ def test_norms_decode_shapes_match():
     np.testing.assert_allclose(
         np.asarray(ops.layer_norm(x, w, b)),
         np.asarray(layer_norm_xla(x, w, b)), atol=1e-5)
+    # adaln entry points also honor the threshold (ADVICE r3: their guard was
+    # vacuous when rows defaulted)
+    sc = rand(1, 4096, key=3) * 0.1
+    sh = rand(1, 4096, key=4) * 0.1
+    ops.adaptive_layer_norm(x, sc, sh)
+    ops.fused_adaln_scale_residual(x, x, sc, sc, sh)
 
 
 def test_layer_norm_matches_xla_and_grads():
