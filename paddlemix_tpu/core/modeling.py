@@ -283,6 +283,8 @@ def convert_torch_state_dict(flat: Dict[str, np.ndarray], key_map=()) -> Dict[st
             nv = np.transpose(np.asarray(v), (2, 1, 0))  # Conv1d OIW -> WIO
         elif k.endswith(".weight") and getattr(v, "ndim", 0) == 4:
             nv = np.transpose(np.asarray(v), (2, 3, 1, 0))  # OIHW -> HWIO
+        elif k.endswith(".weight") and getattr(v, "ndim", 0) == 5:
+            nv = np.transpose(np.asarray(v), (2, 3, 4, 1, 0))  # Conv3d OIDHW -> DHWIO
         nk = k
         for pat, rep in key_map:
             nk = re.sub(pat, rep, nk)

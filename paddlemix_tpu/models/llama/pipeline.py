@@ -68,3 +68,36 @@ def make_llama_pipeline_forward(model: LlamaForCausalLM, mesh, *,
             {"params": params["lm_head"]}, x)
 
     return forward
+
+
+def make_llama_pipeline_loss(model: LlamaForCausalLM, *,
+                             num_microbatches: int = 4):
+    """Trainer-ready pipeline-parallel causal-LM loss.
+
+    Returns a trainer.MeshAwareLoss: the Trainer builds the stage-axis mesh
+    from ``TrainingArguments.pipeline_parallel_degree`` and binds this
+    factory to it in ``setup()``, making PP reachable from the trainer/SFT
+    surface (reference blip2_trainer.py:306-354 wires fleet pp the same
+    way). Batches: {"input_ids", optional "labels" (-100 = ignore)}."""
+    from ...trainer.trainer import MeshAwareLoss
+
+    def factory(mesh):
+        if mesh is None or mesh.shape.get("stage", 1) < 2:
+            raise ValueError(
+                "make_llama_pipeline_loss needs pipeline_parallel_degree >= 2")
+        fwd = make_llama_pipeline_forward(model, mesh,
+                                          num_microbatches=num_microbatches)
+
+        def loss_fn(params, batch, rng=None):
+            ids = batch["input_ids"]
+            labels = batch.get("labels", ids)
+            logits = fwd(params, ids)[:, :-1]
+            tgt = labels[:, 1:]
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+            mask = (tgt != -100).astype(jnp.float32)
+            return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+        return loss_fn
+
+    return MeshAwareLoss(factory)

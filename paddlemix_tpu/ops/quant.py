@@ -209,6 +209,14 @@ class static_a8w8_scope:
         return s
 
 
+def active_apply_scope():
+    """The enclosing static_a8w8_scope when in apply mode, else None. Used by
+    modules (e.g. the fused resnet block) that consume scales directly while
+    preserving the record-trace call order."""
+    ctx = _STATIC_SCOPE
+    return ctx if ctx is not None and ctx.mode == "apply" else None
+
+
 def _static_scale(raw):
     """Scale from the scope as a python float when possible (lets the Pallas
     kernels fold it as a compile-time constant), else None."""

@@ -101,6 +101,19 @@ def main(config_path: Optional[str] = None, overrides: Optional[Dict[str, Any]] 
                         collate_fn=pad_collate, shuffle=True, seed=args.seed)
 
     loss_fn = default_lm_loss(model)
+    if getattr(args, "pipeline_parallel_degree", 1) > 1:
+        # PP pass-through (reference blip2_trainer.py:306-354 fleet pp wrap):
+        # the Llama trunk runs as a GPipe pipeline over the stage mesh axis
+        from ..models.llama.modeling import LlamaForCausalLM
+        from ..models.llama.pipeline import make_llama_pipeline_loss
+
+        target = model
+        if not isinstance(target, LlamaForCausalLM):
+            raise ValueError(
+                "pipeline_parallel_degree > 1 is wired for Llama-family "
+                f"causal LMs; got {type(model).__name__}")
+        loss_fn = make_llama_pipeline_loss(
+            target, num_microbatches=int(cfg.get("pp_num_microbatches", 4)))
     if cfg.get("lora"):
         lcfg = LoraConfig(r=int(cfg.get("lora_r", cfg.get("lora_rank", 8))),
                           lora_alpha=int(cfg.get("lora_alpha", 16)))

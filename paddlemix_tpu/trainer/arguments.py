@@ -37,6 +37,8 @@ class TrainingArguments(BaseConfig):
     fsdp_parallel_degree: int = 1   # reference: sharding_parallel_degree
     tensor_parallel_degree: int = 1
     sequence_parallel_degree: int = 1  # reference: sep_parallel_degree
+    pipeline_parallel_degree: int = 1  # reference: pp_degree (blip2_trainer.py:306-354)
+    expert_parallel_degree: int = 1    # MoE expert axis (parallel/moe.py)
     # input pipeline (reference: paddle DataLoader num_workers; here a thread
     # pool in datasets.DataLoader + device put-ahead in the train loop)
     dataloader_num_workers: int = 4

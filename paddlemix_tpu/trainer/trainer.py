@@ -37,6 +37,24 @@ from .train_state import (
 )
 
 
+class MeshAwareLoss:
+    """Wrap a ``mesh -> loss_fn`` factory. Pipeline/expert-parallel losses
+    need the device mesh for their internal shard_map, but the Trainer builds
+    the mesh in ``setup()`` — pass one of these as ``loss_fn`` and the
+    Trainer binds it right after mesh creation (reference counterpart: the
+    fleet PipelineLayer wrap inside blip2_trainer.py:306-354)."""
+
+    def __init__(self, factory: Callable):
+        self.factory = factory
+
+    def bind(self, mesh) -> Callable:
+        return self.factory(mesh)
+
+    def __call__(self, *a, **k):  # pragma: no cover - guard against misuse
+        raise TypeError("MeshAwareLoss must be bound to a mesh by "
+                        "Trainer.setup() before being called")
+
+
 class Trainer:
     def __init__(
         self,
@@ -76,18 +94,26 @@ class Trainer:
     def _build_mesh(self):
         a = self.args
         n = jax.device_count()
-        degrees = (a.data_parallel_degree, a.fsdp_parallel_degree,
-                   a.tensor_parallel_degree, a.sequence_parallel_degree)
+        cfg = MeshConfig(
+            data_parallel_degree=a.data_parallel_degree,
+            fsdp_parallel_degree=a.fsdp_parallel_degree,
+            tensor_parallel_degree=a.tensor_parallel_degree,
+            sequence_parallel_degree=a.sequence_parallel_degree,
+            pipeline_parallel_degree=getattr(a, "pipeline_parallel_degree", 1),
+            expert_parallel_degree=getattr(a, "expert_parallel_degree", 1))
+        degrees = (cfg.data_parallel_degree, cfg.fsdp_parallel_degree,
+                   cfg.tensor_parallel_degree, cfg.sequence_parallel_degree,
+                   cfg.pipeline_parallel_degree, cfg.expert_parallel_degree)
         if degrees[0] != -1:
             # explicit degrees: use exactly that many devices (reference allows
             # running on a subset of the visible accelerators)
             need = int(np.prod(degrees))
             if need == 1:
                 return None
-            return create_mesh(MeshConfig(*degrees), devices=jax.devices()[:need])
-        if n == 1 and degrees[1] == 1 and degrees[2] == 1 and degrees[3] == 1:
+            return create_mesh(cfg, devices=jax.devices()[:need])
+        if n == 1 and all(d == 1 for d in degrees[1:]):
             return None
-        return create_mesh(MeshConfig(*degrees))
+        return create_mesh(cfg)
 
     def _total_steps(self, steps_per_epoch: Optional[int]) -> int:
         if self.args.max_steps > 0:
@@ -117,6 +143,11 @@ class Trainer:
             tx = optax.MultiSteps(tx, a.gradient_accumulation_steps)
         self.tx = tx
         self.mesh = self._build_mesh()
+        if isinstance(self.loss_fn, MeshAwareLoss):
+            # pipeline/expert losses close over the mesh for their shard_map
+            # (reference: blip2_trainer wraps the model in fleet PipelineLayer
+            # at this same point, blip2_trainer.py:306-354)
+            self.loss_fn = self.loss_fn.bind(self.mesh)
         params = self.params
         if self.mesh is not None:
             # private copy: the sharded state is donated every step, and

@@ -27,7 +27,7 @@ def constant_fill(shapes):
     return jax.jit(lambda: jax.tree_util.tree_map(fill, shapes))()
 
 
-def run_arm(fused, scan=False, new_tokens=128):
+def run_arm(fused, scan=False, kv_int8=False, new_tokens=128):
     cfg = LlavaConfig(
         vision_config=dict(hidden_size=1024, intermediate_size=4096,
                            num_hidden_layers=24, num_attention_heads=16,
@@ -36,7 +36,8 @@ def run_arm(fused, scan=False, new_tokens=128):
                          intermediate_size=11008, num_hidden_layers=32,
                          num_attention_heads=32, num_key_value_heads=32,
                          max_position_embeddings=4096, quant="a8w8",
-                         fused_qkv=fused, scan_layers=scan),
+                         fused_qkv=fused, scan_layers=scan,
+                         cachekv_int8=kv_int8),
     )
     model = LlavaForConditionalGeneration(cfg, dtype=jnp.bfloat16)
     args, kwargs = LlavaForConditionalGeneration.example_inputs(cfg)
@@ -57,8 +58,8 @@ def run_arm(fused, scan=False, new_tokens=128):
 
     t0 = time.time(); run(1); c1 = time.time() - t0
     t0 = time.time(); run(new_tokens); c2 = time.time() - t0
-    print(f"# fused={fused} scan={scan} compiles {c1:.0f}s + {c2:.0f}s",
-          flush=True)
+    print(f"# fused={fused} scan={scan} kv_int8={kv_int8} "
+          f"compiles {c1:.0f}s + {c2:.0f}s", flush=True)
 
     def med(n, reps=3):
         ts = []
@@ -69,7 +70,7 @@ def run_arm(fused, scan=False, new_tokens=128):
     ttft = med(1)
     total = med(new_tokens)
     ms_tok = (total - ttft) / (new_tokens - 1) * 1e3
-    print(json.dumps({"fused": fused, "scan": scan,
+    print(json.dumps({"fused": fused, "scan": scan, "kv_int8": kv_int8,
                       "ms_per_token": round(ms_tok, 3),
                       "tok_s": round(1e3 / ms_tok, 1),
                       "ttft_ms": round(ttft * 1e3, 1)}), flush=True)
@@ -81,10 +82,14 @@ def run_arm(fused, scan=False, new_tokens=128):
 if __name__ == "__main__":
     import sys
 
-    arms = sys.argv[1:] or ["base", "fused", "scan", "fused+scan"]
+    # NOTE: scan_layers requires the dense bf16 KV cache (modeling.py), so
+    # scan+kv arms are invalid by construction
+    arms = sys.argv[1:] or ["base", "fused", "scan", "fused+scan", "kv",
+                            "fused+kv"]
     results = {}
     for arm in arms:
-        results[arm] = run_arm("fused" in arm, scan="scan" in arm)
+        results[arm] = run_arm("fused" in arm, scan="scan" in arm,
+                               kv_int8="kv" in arm)
     base = results.get("base")
     if base:
         for arm, v in results.items():
