@@ -295,29 +295,38 @@ def main():
 
     gs = jnp.asarray(5.0, jnp.float32)
 
-    def denoise_and_decode(unet_params, vae_params, latents, state):
-        def body(i, carry):
-            latents, state = carry
-            t = state.timesteps[i]
-            lat_in = jnp.concatenate([latents, latents])
-            lat_in = scheduler.scale_model_input(state, lat_in, i)
-            t_in = jnp.broadcast_to(t, (2 * batch,))
-            noise = unet.module.apply(
-                {"params": unet_params}, lat_in.astype(jnp.bfloat16), t_in,
-                context, added_cond_kwargs={"text_embeds": text_embeds,
-                                            "time_ids": time_ids}).astype(jnp.float32)
-            un, co = jnp.split(noise, 2)
-            noise = un + gs * (co - un)
-            latents, state = scheduler.step(state, noise, i, latents)
-            return latents, state
+    def make_denoise_and_decode(n_steps):
+        def denoise_and_decode(unet_params, vae_params, latents, state):
+            def body(i, carry):
+                latents, state = carry
+                t = state.timesteps[jnp.minimum(i, steps - 1)]
+                lat_in = jnp.concatenate([latents, latents])
+                lat_in = scheduler.scale_model_input(state, lat_in,
+                                                     jnp.minimum(i, steps - 1))
+                t_in = jnp.broadcast_to(t, (2 * batch,))
+                noise = unet.module.apply(
+                    {"params": unet_params}, lat_in.astype(jnp.bfloat16), t_in,
+                    context, added_cond_kwargs={"text_embeds": text_embeds,
+                                                "time_ids": time_ids}).astype(jnp.float32)
+                un, co = jnp.split(noise, 2)
+                noise = un + gs * (co - un)
+                latents, state = scheduler.step(state, noise,
+                                                jnp.minimum(i, steps - 1), latents)
+                return latents, state
 
-        latents, _ = jax.lax.fori_loop(0, steps, body, (latents, state))
-        img = vae.module.apply({"params": vae_params},
-                               (latents / 0.13025).astype(jnp.bfloat16),
-                               method=vae.module.decode)
-        return img
+            latents, _ = jax.lax.fori_loop(0, n_steps, body, (latents, state))
+            img = vae.module.apply({"params": vae_params},
+                                   (latents / 0.13025).astype(jnp.bfloat16),
+                                   method=vae.module.decode)
+            return img
 
-    run = jax.jit(denoise_and_decode)
+        return denoise_and_decode
+
+    run = jax.jit(make_denoise_and_decode(steps))
+    # 2N-step twin for the two-point slope fit (tools/calibrate_timing.py
+    # methodology: fixed dispatch/relay overhead cancels in T(2N) - T(N));
+    # scheduler indices clamp to the real schedule so only step COUNT changes
+    run2 = jax.jit(make_denoise_and_decode(2 * steps))
     latents = latents0 * scheduler.init_noise_sigma
 
     import contextlib
@@ -365,26 +374,49 @@ def main():
             print(f"# calibrated {len(scales)} quantized ops", file=sys.stderr)
         quant_ctx = static_a8w8_scope("apply", [float(v) for v in scales])
 
+    import contextlib as _ctx
+
     t0 = time.time()
     with quant_ctx:  # active during trace: bakes a8w8 into the program
         img = run(unet.params, vae.params, latents, state)
     np.asarray(img[0, :2, :2])  # tiny host fetch: reliable completion fence
     compile_s = time.time() - t0
+    slope = os.environ.get("BENCH_SLOPE", "1") == "1"
+    if slope:
+        with (static_a8w8_scope("apply", [float(v) for v in scales])
+              if quant_mode == "a8w8_static" else _ctx.nullcontext()):
+            img2 = run2(unet.params, vae.params, latents, state)
+        np.asarray(img2[0, :2, :2])
 
-    times = []
-    for _ in range(reps):
-        t0 = time.time()
-        img = run(unet.params, vae.params, latents, state)
-        np.asarray(img[0, :2, :2])
-        times.append(time.time() - t0)
-    sec_per_image = float(np.median(times)) / batch
+    def med(fn):
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            img = fn(unet.params, vae.params, latents, state)
+            np.asarray(img[0, :2, :2])
+            ts.append(time.time() - t0)
+        return float(np.median(ts)), float(np.max(ts) - np.min(ts))
+
+    t1, band1 = med(run)
+    sec_per_image = t1 / batch
     imgs_per_sec = 1.0 / sec_per_image
+    extra = {}
+    if slope:
+        # two-point fit: fixed dispatch/relay overhead + VAE cancel in the
+        # difference, so step_ms is a variance-hardened per-step time and
+        # fixed_ms isolates VAE decode + dispatch
+        t2, band2 = med(run2)
+        step_ms = (t2 - t1) / steps * 1e3
+        extra = {"step_ms": round(step_ms, 2),
+                 "fixed_ms": round((t1 - step_ms * steps / 1e3) * 1e3, 1),
+                 "rep_band_ms": round(max(band1, band2) * 1e3, 1)}
 
     print(json.dumps({
         "metric": f"sdxl_{res}px_{steps}step_imgs_per_sec_per_chip",
         "value": round(imgs_per_sec, 4),
         "unit": "imgs/s/chip",
         "vs_baseline": round(imgs_per_sec / 1.5, 4),
+        "quant": quant_mode or "bf16", "batch": batch, **extra,
     }))
     print(f"# compile={compile_s:.1f}s warm={sec_per_image:.3f}s/img "
           f"steps={steps} res={res} batch={batch} device={jax.devices()[0]}", file=sys.stderr)

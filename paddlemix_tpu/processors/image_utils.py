@@ -56,9 +56,15 @@ def resize(image: np.ndarray, size: Tuple[int, int], resample: str = "bicubic") 
 
 
 def resize_shortest_edge(image: np.ndarray, shortest: int, resample: str = "bicubic") -> np.ndarray:
+    """Reference semantics (transformers/paddle get_resize_output_image_size):
+    the long side is int-TRUNCATED, not rounded — a one-pixel difference here
+    shifts every pixel after the center crop (caught by
+    tests/test_processor_fidelity.py against the HF processors)."""
     h, w = image.shape[:2]
-    scale = shortest / min(h, w)
-    return resize(image, (round(h * scale), round(w * scale)), resample)
+    short, long = (h, w) if h <= w else (w, h)
+    new_long = int(shortest * long / short)
+    nh, nw = (shortest, new_long) if h <= w else (new_long, shortest)
+    return resize(image, (nh, nw), resample)
 
 
 def center_crop(image: np.ndarray, size: Tuple[int, int]) -> np.ndarray:

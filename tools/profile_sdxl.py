@@ -25,7 +25,24 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 1))
     lat = 128
 
-    unet = _unet(SDXL_UNET, jnp.bfloat16)
+    # BENCH_QUANT=a8w8_static profiles the DEFAULT bench mode, reusing the
+    # calibrated-scales cache bench.py writes (same model identity)
+    quant = os.environ.get("BENCH_QUANT", "")
+    cfg = dict(SDXL_UNET)
+    quant_ctx = None
+    if quant == "a8w8_static":
+        cfg["quant"] = "a8w8_static"
+        scale_files = glob.glob(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".bench_scales_sdxl_1024_1_*.npy"))
+        assert scale_files, "run `python bench.py` once to cache the scales"
+        scales = np.load(sorted(scale_files)[-1])
+        from paddlemix_tpu.ops.quant import static_a8w8_scope
+
+        quant_ctx = static_a8w8_scope("apply", [float(v) for v in scales])
+        print(f"# a8w8 static profile: {len(scales)} scales "
+              f"(fused_resnet={os.environ.get('PMIX_FUSED_RESNET', '0')})")
+    unet = _unet(cfg, jnp.bfloat16)
     context = jax.random.normal(jax.random.PRNGKey(2), (2 * batch, 77, 2048), jnp.bfloat16)
     text_embeds = jax.random.normal(jax.random.PRNGKey(3), (2 * batch, 1280), jnp.bfloat16)
     time_ids = jnp.tile(jnp.asarray([[1024, 1024, 0, 0, 1024, 1024]], jnp.bfloat16), (2 * batch, 1))
@@ -41,7 +58,10 @@ def main():
             return x + 0.0 * noise  # keep loop-carried dep without changing cost
         return jax.lax.fori_loop(0, 4, body, lat_in)
 
-    out = step(unet.params, lat_in)
+    import contextlib
+
+    with (quant_ctx or contextlib.nullcontext()):  # active during trace
+        out = step(unet.params, lat_in)
     np.asarray(out[0, :2, :2, 0])  # compile + fence
 
     with jax.profiler.trace(trace_dir):
