@@ -35,7 +35,9 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    length = len_ref[0]
+    # whole (B,) vector lives in SMEM (rank-1 SMEM blocks must equal the
+    # array dim on TPU); index by the batch program id
+    length = len_ref[pl.program_id(0)]
     # skip blocks entirely beyond the written length
     @pl.when(ki * block_k < length)
     def _run():
@@ -86,7 +88,7 @@ def decode_attention(q, k_cache, v_cache, lengths, *, scale: Optional[float] = N
         grid=(b, kvh, num_blocks),
         out_shape=jax.ShapeDtypeStruct((b * kvh, g, d), q.dtype),
         in_specs=[
-            pl.BlockSpec((1,), lambda bb, h, ki: (bb,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, g, d), lambda bb, h, ki: (bb * kvh + h, 0, 0)),
             pl.BlockSpec((1, block_k, d), lambda bb, h, ki: (bb * kvh + h, ki, 0)),
             pl.BlockSpec((1, block_k, d), lambda bb, h, ki: (bb * kvh + h, ki, 0)),
@@ -136,12 +138,15 @@ def _decode_kernel_int8(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    length = len_ref[0]
+    length = len_ref[pl.program_id(0)]
 
     @pl.when(ki * block_k < length)
     def _run():
         q = q_ref[0].astype(jnp.float32) * scale
-        ks = ks_ref[0].astype(jnp.float32)              # (block_k,)
+        # scales arrive as the full (num_blocks, block_k) row (lane dim =
+        # block_k keeps the Mosaic 128-lane rule satisfied via the
+        # equal-to-array-dim escape hatch); pick this step's sublane row
+        ks = ks_ref[0, ki].astype(jnp.float32)          # (block_k,)
         k = k_ref[0].astype(jnp.float32) * ks[:, None]  # dequant in VMEM
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -156,7 +161,7 @@ def _decode_kernel_int8(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
         l_scr[...] = jnp.broadcast_to(
             alpha * l_prev[:, :1] + jnp.sum(p, 1)[:, None], l_prev.shape)
         m_scr[...] = m_next
-        vs = vs_ref[0].astype(jnp.float32)
+        vs = vs_ref[0, ki].astype(jnp.float32)
         v = v_ref[0].astype(jnp.float32) * vs[:, None]
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
             p, v, preferred_element_type=jnp.float32)
@@ -183,20 +188,25 @@ def decode_attention_int8(q, k_q, v_q, k_scale, v_scale, lengths, *,
     qg = q[:, 0].reshape(b, kvh, g, d)
     kt = jnp.swapaxes(k_q, 1, 2).reshape(b * kvh, L, d)
     vt = jnp.swapaxes(v_q, 1, 2).reshape(b * kvh, L, d)
-    kst = jnp.swapaxes(k_scale, 1, 2).reshape(b * kvh, L)
-    vst = jnp.swapaxes(v_scale, 1, 2).reshape(b * kvh, L)
+    # (rows, num_blocks, block_k): whole row stays VMEM-resident across the
+    # ki loop; last-two block dims equal the array dims, which is the only
+    # Mosaic-legal layout when block_k isn't a multiple of 128 (e.g. L=704).
+    kst = jnp.swapaxes(k_scale, 1, 2).reshape(b * kvh, num_blocks, block_k)
+    vst = jnp.swapaxes(v_scale, 1, 2).reshape(b * kvh, num_blocks, block_k)
     out = pl.pallas_call(
         functools.partial(_decode_kernel_int8, scale=scale, block_k=block_k,
                           num_blocks=num_blocks, groups=g),
         grid=(b, kvh, num_blocks),
         out_shape=jax.ShapeDtypeStruct((b * kvh, g, d), q.dtype),
         in_specs=[
-            pl.BlockSpec((1,), lambda bb, h, ki: (bb,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, g, d), lambda bb, h, ki: (bb * kvh + h, 0, 0)),
             pl.BlockSpec((1, block_k, d), lambda bb, h, ki: (bb * kvh + h, ki, 0)),
             pl.BlockSpec((1, block_k, d), lambda bb, h, ki: (bb * kvh + h, ki, 0)),
-            pl.BlockSpec((1, block_k), lambda bb, h, ki: (bb * kvh + h, ki)),
-            pl.BlockSpec((1, block_k), lambda bb, h, ki: (bb * kvh + h, ki)),
+            pl.BlockSpec((1, num_blocks, block_k),
+                         lambda bb, h, ki: (bb * kvh + h, 0, 0)),
+            pl.BlockSpec((1, num_blocks, block_k),
+                         lambda bb, h, ki: (bb * kvh + h, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, g, d), lambda bb, h, ki: (bb * kvh + h, 0, 0)),
         scratch_shapes=[
