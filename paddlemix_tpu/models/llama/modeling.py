@@ -122,7 +122,35 @@ class MXUDense(nn.Module):
         pad = (-rows) % 8
         if pad:
             x2 = jnp.concatenate([x2, jnp.zeros((pad, in_f), x2.dtype)])
-        if self.quant in ("wint8", "a8w8"):
+        if self.quant in ("a8w4", "wint4"):
+            # int4 weights (packed two-per-byte), dynamic int8 activations.
+            # The unpack to XLA-native S4 is loop-invariant in the decode
+            # while_loop — XLA hoists it, so each token streams 0.5 B/weight
+            # from HBM (measured r4: int8 a8w8 decode already runs at ~700
+            # GB/s aggregate = the practical BW; int4 is the only remaining
+            # lever). Reference: paddlenlp weight_only_int4
+            # (deploy/llava/README.md --quant_type).
+            from ...ops.quant import unpack_int4
+            # generate paths pre-unpack the whole tree before the decode
+            # while_loop (ops.quant.unpack_tree_int4) and hand this module an
+            # S4 (in, out) value where init declared packed int8 (in//2, out)
+            # — fetch via the scope to skip flax's init-shape validation
+            if self.has_variable("params", "kernel_q"):
+                kq = self.scope.get_variable("params", "kernel_q")
+            else:
+                kq = self.param("kernel_q", nn.initializers.zeros_init(),
+                                (in_f // 2, self.features), jnp.int8)
+            scale = self.param("scale", nn.initializers.ones,
+                               (self.features,), jnp.float32)
+            w4 = kq if kq.dtype == jnp.int4 else unpack_int4(kq)
+            amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True)
+            sx = jnp.maximum(amax.astype(jnp.float32), 1e-6) / 127.0
+            xq = jnp.clip(jnp.round(x2.astype(jnp.float32) / sx),
+                          -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(xq, w4, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            out = (acc.astype(jnp.float32) * sx * scale[None, :]).astype(self.dtype)
+        elif self.quant in ("wint8", "a8w8"):
             kq = self.param("kernel_q", nn.initializers.zeros_init(),
                             (in_f, self.features), jnp.int8)
             scale = self.param("scale", nn.initializers.ones,
@@ -575,11 +603,15 @@ class LlamaForCausalLM(PretrainedModel):
         --quant_type weight_only_int8 / a8w8, deploy/llava/README.md:20-38).
         mode="a8w8" (default) adds dynamic per-row activation quant and runs
         the MXU int8 path — measured 95.7 vs 51.9 tok/s bf16 on llama-7b
-        decode (v5e); "wint8" dequantizes weights in a Pallas kernel."""
-        from ...ops.quant import quantize_tree_wint8
+        decode (v5e); "wint8" dequantizes weights in a Pallas kernel;
+        "a8w4"/"wint4" packs int4 weights two-per-byte (halves decode HBM
+        bytes again — the reference's weight_only_int4)."""
+        from ...ops.quant import quantize_tree_int4, quantize_tree_wint8
 
-        assert mode in ("a8w8", "wint8"), mode
-        self.params = quantize_tree_wint8(self.params, min_bytes=min_bytes)
+        assert mode in ("a8w8", "wint8", "a8w4", "wint4"), mode
+        tree_fn = (quantize_tree_int4 if mode in ("a8w4", "wint4")
+                   else quantize_tree_wint8)
+        self.params = tree_fn(self.params, min_bytes=min_bytes)
         # copy the config: it may be shared with other model instances
         self.config = dataclasses.replace(self.config, quant=mode)
         self.module = self.module_class(self.config,
@@ -655,8 +687,15 @@ def greedy_generate(model: LlamaForCausalLM, input_ids, attention_mask=None,
         return run_cached(params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
                           jax.random.PRNGKey(seed), inputs_embeds=inputs_embeds)
 
+    quant_mode = getattr(model.config, "quant", None)
+
     @jax.jit
     def run(params, input_ids, attention_mask, key, inputs_embeds=None):
+        if quant_mode in ("a8w4", "wint4"):
+            # materialize the S4 weights ONCE per call, before the decode
+            # while_loop — XLA will not hoist the multi-GB unpack itself
+            from ...ops.quant import unpack_tree_int4
+            params = unpack_tree_int4(params)
         cache = model.init_cache(b, max_len)
         positions = jnp.cumsum(attention_mask, axis=-1) - 1
         positions = jnp.where(attention_mask > 0, positions, -1)

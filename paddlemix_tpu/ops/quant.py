@@ -26,6 +26,98 @@ def quantize_weights_int8(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
+def quantize_weights_int4(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """w: (in, out) -> (packed int8 (in//2, out), per-out-channel fp32 scales).
+
+    Symmetric int4: values in [-7, 7], scale = absmax/7. Byte layout packs
+    row k (low nibble) with row k + in//2 (high nibble) — the halves split
+    keeps the dot over k order-free, so the unpack is two shifts and a
+    concat instead of an interleave (TPU counterpart of the reference's
+    paddlenlp weight_only_int4, deploy/llava/README.md --quant_type)."""
+    k = w.shape[0]
+    assert k % 2 == 0, "int4 pack needs an even input dim"
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 7.0)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -7, 7).astype(jnp.int8)
+    lo, hi = q[: k // 2], q[k // 2:]
+    packed = jnp.bitwise_or(jnp.left_shift(hi, 4), jnp.bitwise_and(lo, 15))
+    return packed, scale
+
+
+def unpack_int4(packed: jnp.ndarray):
+    """(in//2, out) packed int8 -> (in, out) jnp.int4 (XLA-native S4).
+
+    Inside a decode while_loop this is loop-invariant, so XLA hoists it and
+    materializes the S4 weight ONCE per call — the loop body then streams
+    true 0.5 byte/value from HBM (the whole point: decode is weight-HBM
+    bound, int4 halves the bytes of int8 again). Arithmetic shifts
+    sign-extend the nibbles."""
+    w32 = packed.astype(jnp.int32)
+    lo = ((w32 << 28) >> 28).astype(jnp.int4)
+    hi = ((w32 << 24) >> 28).astype(jnp.int4)
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+def unpack_tree_int4(params):
+    """Replace every packed int4 ``kernel_q`` leaf with its unpacked S4 form.
+
+    Call INSIDE a jitted generate body BEFORE the decode while_loop, and only
+    on an a8w4-quantized tree. Rationale (r4 on-chip profile): XLA's loop
+    LICM refuses to hoist the multi-GB unpack out of the decode while_loop,
+    so left in the module the unpack re-runs every token (read packed +
+    write S4 + read S4 = 3x the HBM traffic of the S4 dot alone, measured
+    83.8 vs 103.4 tok/s a8w8). Unpacked here it materializes once per
+    generate call and the loop streams pure 0.5 B/weight. S4 cannot cross
+    the jit boundary itself (PJRT sub-byte transfer bug), which is why this
+    lives inside the jit instead of at quantize time."""
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for name, child in node.items():
+            if isinstance(child, dict) and "kernel_q" in child \
+                    and "scale" in child \
+                    and getattr(child["kernel_q"], "ndim", 0) == 2:
+                out[name] = {
+                    k: (unpack_int4(v) if k == "kernel_q" else walk(v))
+                    for k, v in child.items()
+                }
+            else:
+                out[name] = walk(child)
+        return out
+
+    return walk(params)
+
+
+def quantize_tree_int4(params, min_bytes: int = 1 << 20):
+    """Like quantize_tree_wint8 but packs int4: kernel_q (in//2, out) int8 +
+    scale (out,) fp32. Same donation discipline (peak = params + ONE leaf)."""
+    quant_one = jax.jit(quantize_weights_int4, donate_argnums=0)
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for name, child in node.items():
+            if isinstance(child, dict) and "kernel" in child \
+                    and getattr(child["kernel"], "ndim", 0) == 2 \
+                    and child["kernel"].shape[0] % 2 == 0 \
+                    and child["kernel"].size * 2 >= min_bytes:
+                w = jnp.asarray(child["kernel"])
+                q, scale = quant_one(w)
+                jax.block_until_ready(q)
+                if hasattr(w, "delete") and not w.is_deleted():
+                    w.delete()
+                rest = {k: v for k, v in child.items() if k != "kernel"}
+                out[name] = {"kernel_q": q, "scale": scale, **walk(rest)}
+            else:
+                out[name] = walk(child)
+        return out
+
+    return walk(params)
+
+
 def quantize_tree_wint8(params, min_bytes: int = 1 << 20):
     """Walk a flax params tree; replace every 2D ``kernel`` leaf larger than
     ``min_bytes`` with ``kernel_q`` (int8) + ``scale`` (per-out-channel fp32).

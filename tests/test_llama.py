@@ -138,10 +138,13 @@ def test_hf_qwen2_parity(tmp_path):
     np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-3)
 
 
-@pytest.mark.parametrize("mode", ["a8w8", "wint8"])
-def test_quantized_decode_matches_bf16(mode):
-    """int8 decode path (reference deploy --quant_type weight_only_int8/a8w8):
-    logits stay close and greedy tokens match the fp path on a tiny model."""
+@pytest.mark.parametrize("mode,tol", [("a8w8", 0.08), ("wint8", 0.08),
+                                      ("a8w4", 0.35)])
+def test_quantized_decode_matches_bf16(mode, tol):
+    """int8/int4 decode path (reference deploy --quant_type
+    weight_only_int8/int4 / a8w8): logits stay close and greedy tokens match
+    the fp path on a tiny model. int4 carries a looser bound — 15 levels per
+    channel is the precision the reference's wint4 deploy accepts too."""
     m = LlamaForCausalLM.from_config(TINY, seed=0)
     rng = np.random.RandomState(0)
     ids = jnp.asarray(rng.randint(0, 128, (2, 8)), jnp.int32)
@@ -151,7 +154,7 @@ def test_quantized_decode_matches_bf16(mode):
     logits_q, _ = m(ids)
     out_q = greedy_generate(m, ids, max_new_tokens=8, eos_token_id=-1)
     rel = float(jnp.max(jnp.abs(logits - logits_q)) / jnp.max(jnp.abs(logits)))
-    assert rel < 0.08, rel
+    assert rel < tol, rel
     # random-weight logits are near-uniform so greedy argmax is chaotic under
     # tiny perturbations; the logits bound above is the real criterion — just
     # require the first sampled continuation steps to broadly agree

@@ -245,6 +245,26 @@ def test_wint8_matmul():
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), atol=2e-2)
 
 
+def test_int4_pack_unpack_roundtrip():
+    """quantize_weights_int4 packs two rows per byte; unpack_int4 must
+    restore the exact int4 values (S4) and the dequantized matmul must stay
+    within the per-channel int4 quantization error bound."""
+    from paddlemix_tpu.ops.quant import quantize_weights_int4, unpack_int4
+
+    w = rand(256, 384, key=2) * 0.05
+    packed, scale = quantize_weights_int4(w)
+    assert packed.shape == (128, 384) and packed.dtype == jnp.int8
+    w4 = unpack_int4(packed)
+    assert w4.shape == (256, 384)
+    # exact nibble roundtrip vs direct requantization
+    q_ref = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int32)
+    np.testing.assert_array_equal(np.asarray(w4.astype(jnp.int32)),
+                                  np.asarray(q_ref))
+    # dequant error bound: |w - q*s| <= s/2 per element
+    err = jnp.abs(w4.astype(jnp.float32) * scale - w)
+    assert float(jnp.max(err - scale / 2)) < 1e-6
+
+
 def test_activations_registry():
     x = rand(4, 8)
     for name in ("gelu", "quick_gelu", "silu", "relu", "mish"):
