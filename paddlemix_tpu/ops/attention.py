@@ -80,12 +80,16 @@ def attention_xla(
 LOG2E = float(np.log2(np.e))
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, *rest,
+def _fwd_kernel(q_ref, k_ref, v_ref, *args,
                 causal, block_q, block_k, num_kv, has_segments, mask_value,
-                d_out, fuse_l, want_lse):
+                d_out, fuse_l, want_lse, int8_qk=False):
     # inference calls drop the lse output entirely (a pallas output is always
     # written; (B,H,S,128-lane) fp32 lse is ~2GB/step of dead HBM traffic on
     # the SDXL UNet) — rest is (lse_ref?, m_scr, l_scr, acc_scr)
+    if int8_qk:
+        sq_ref, sk_ref, qseg_ref, kseg_ref, o_ref, *rest = args
+    else:
+        qseg_ref, kseg_ref, o_ref, *rest = args
     lse_ref = rest[0] if want_lse else None
     m_scr, l_scr, acc_scr = rest[1:] if want_lse else rest
     qi = pl.program_id(2)
@@ -104,13 +108,24 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, *rest,
 
     @pl.when(should_run)
     def _run():
-        # operands stay in their storage dtype: MXU multiplies bf16 natively
-        # with fp32 accumulation; upcasting first would run the matmul at
-        # the ~8x slower fp32 MXU rate. q is pre-scaled by scale*log2(e).
-        s = jax.lax.dot_general(
-            q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (block_q, block_k) fp32, base-2 logits
+        if int8_qk:
+            # int8 QK^T: the D=64 contraction caps bf16 at ~half MXU rate;
+            # int8 doubles the lane rate. Per-row dynamic scales (sq folds
+            # scale*log2(e)) dequantize the int32 logits on the VPU.
+            s32 = jax.lax.dot_general(
+                q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            s = s32.astype(jnp.float32) * sq_ref[0, 0] * sk_ref[0, 0]
+        else:
+            # operands stay in their storage dtype: MXU multiplies bf16
+            # natively with fp32 accumulation; upcasting first would run the
+            # matmul at the ~8x slower fp32 MXU rate. q is pre-scaled by
+            # scale*log2(e).
+            s = jax.lax.dot_general(
+                q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (block_q, block_k) fp32, base-2 logits
 
         if causal or has_segments:
             mask = jnp.full(s.shape, True)
@@ -151,11 +166,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, *rest,
 
 
 def _flash_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value,
-               want_lse=True):
+               want_lse=True, int8_qk=False):
     """q: (B,Hq,Sq,D), k/v: (B,Hkv,Skv,D) -> o, lse(B,Hq,Sq,LANES fp32 base-2).
 
     want_lse=False (inference) drops the lse output and its HBM writes; the
-    return is then (o, None)."""
+    return is then (o, None). int8_qk quantizes q/k per row and runs the
+    QK^T contraction on the int8 MXU path (2x the bf16 lane rate — the win
+    that matters at D=64 where the 64-deep contraction idles half the MXU);
+    PV stays bf16 (it contracts over block_k, already full-rate)."""
     b, hq, sq, d = q.shape
     _, hkv, skv, _ = k.shape
     g = hq // hkv
@@ -168,7 +186,22 @@ def _flash_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value
         qseg = jnp.zeros((b, 1, sq), jnp.int32)
         kseg = jnp.zeros((b, 1, skv), jnp.int32)
 
-    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    if int8_qk:
+        # per-row symmetric int8; scale*log2(e) folds into the q scales so
+        # the kernel's logits stay base-2. Scale layouts are 4D with the
+        # broadcast axis LAST (sq) / SECOND-TO-LAST (sk): Mosaic constrains
+        # only the last two block dims, and these land as (block_q, 1) /
+        # (1, block_k) tiles already shaped for the s dequant broadcast.
+        qa = jnp.maximum(jnp.max(jnp.abs(q.astype(jnp.float32)), -1), 1e-9)
+        sq_arr = ((qa / 127.0) * (scale * LOG2E))[..., None]  # (B,Hq,Sq,1)
+        q = jnp.clip(jnp.round(q.astype(jnp.float32) * (127.0 / qa[..., None])),
+                     -127, 127).astype(jnp.int8)
+        ka = jnp.maximum(jnp.max(jnp.abs(k.astype(jnp.float32)), -1), 1e-9)
+        sk_arr = (ka / 127.0)[:, :, None, :]                  # (B,Hkv,1,Skv)
+        k = jnp.clip(jnp.round(k.astype(jnp.float32) * (127.0 / ka[..., None])),
+                     -127, 127).astype(jnp.int8)
+    else:
+        q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
     v = v.reshape(b, hkv, skv, d)
     k = k.reshape(b, hkv, skv, d)
     # the ones-column is free when d leaves lane padding anyway (e.g. 64);
@@ -182,25 +215,36 @@ def _flash_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value
     kernel = functools.partial(
         _fwd_kernel, causal=causal, block_q=block_q, block_k=block_k,
         num_kv=nk, has_segments=has_segments, mask_value=mask_value,
-        d_out=d, fuse_l=fuse_l, want_lse=want_lse,
+        d_out=d, fuse_l=fuse_l, want_lse=want_lse, int8_qk=int8_qk,
     )
-    out_shape = [jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype)]
+    out_shape = [jax.ShapeDtypeStruct((b, hq, sq, d), v.dtype)]
     out_specs = [pl.BlockSpec((1, 1, block_q, d), lambda bb, h, qi, ki: (bb, h, qi, 0))]
     if want_lse:
         out_shape.append(jax.ShapeDtypeStruct((b, hq, sq, LANES), jnp.float32))
         out_specs.append(
             pl.BlockSpec((1, 1, block_q, LANES), lambda bb, h, qi, ki: (bb, h, qi, 0)))
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda bb, h, qi, ki: (bb, h, qi, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda bb, h, qi, ki: (bb, h // g, ki, 0)),
+        pl.BlockSpec((1, 1, block_k, dv_in), lambda bb, h, qi, ki: (bb, h // g, ki, 0)),
+    ]
+    inputs = [q, k, v]
+    if int8_qk:
+        in_specs += [
+            pl.BlockSpec((1, 1, block_q, 1), lambda bb, h, qi, ki: (bb, h, qi, 0)),
+            pl.BlockSpec((1, 1, 1, block_k), lambda bb, h, qi, ki: (bb, h // g, 0, ki)),
+        ]
+        inputs += [sq_arr, sk_arr]
+    in_specs += [
+        pl.BlockSpec((1, 1, block_q), lambda bb, h, qi, ki: (bb, 0, qi)),
+        pl.BlockSpec((1, 1, block_k), lambda bb, h, qi, ki: (bb, 0, ki)),
+    ]
+    inputs += [qseg, kseg]
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bb, h, qi, ki: (bb, h, qi, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bb, h, qi, ki: (bb, h // g, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, dv_in), lambda bb, h, qi, ki: (bb, h // g, ki, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda bb, h, qi, ki: (bb, 0, qi)),
-            pl.BlockSpec((1, 1, block_k), lambda bb, h, qi, ki: (bb, 0, ki)),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),
@@ -211,7 +255,7 @@ def _flash_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret_mode(),
-    )(q, k, v, qseg, kseg)
+    )(*inputs)
     return (outs[0], outs[1]) if want_lse else (outs[0], None)
 
 
@@ -399,21 +443,26 @@ def _flash_bwd(q, k, v, segment_ids, scale, causal, block_q, block_k,
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-# custom_vjp over (q, k, v, segment_ids); static: scale/causal/blocks
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash_attention(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value):
+# custom_vjp over (q, k, v, segment_ids); static: scale/causal/blocks/int8
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash_attention(q, k, v, segment_ids, scale, causal, block_q, block_k,
+                     mask_value, int8_qk=False):
     # primal (not differentiated) path: skip the lse residual entirely
     o, _ = _flash_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k,
-                      mask_value, want_lse=False)
+                      mask_value, want_lse=False, int8_qk=int8_qk)
     return o
 
 
-def _flash_attention_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value):
+def _flash_attention_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k,
+                         mask_value, int8_qk):
+    # the differentiated path stays bf16: int8 logits in the fwd would make
+    # the recomputed bwd softmax inconsistent with the saved lse
     o, lse = _flash_fwd(q, k, v, segment_ids, scale, causal, block_q, block_k, mask_value)
     return o, (q, k, v, segment_ids, o, lse)
 
 
-def _flash_attention_bwd(scale, causal, block_q, block_k, mask_value, res, do):
+def _flash_attention_bwd(scale, causal, block_q, block_k, mask_value, int8_qk,
+                         res, do):
     q, k, v, segment_ids, o, lse = res
     dq, dk, dv = _flash_bwd(q, k, v, segment_ids, scale, causal, block_q, block_k,
                             mask_value, o, lse, do)
@@ -437,9 +486,16 @@ def _pad_to(x, axis, multiple):
 def flash_attention(
     q, k, v, *, causal=False, segment_ids: Optional[SegmentIds] = None,
     scale: Optional[float] = None, block_q: int = 1024, block_k: int = 2048,
-    mask_value: float = DEFAULT_MASK_VALUE,
+    mask_value: float = DEFAULT_MASK_VALUE, int8_qk: Optional[bool] = None,
 ):
-    """Flash attention, (B, S, H, D) layout. Pads seq/head_dim as needed."""
+    """Flash attention, (B, S, H, D) layout. Pads seq/head_dim as needed.
+
+    int8_qk (default: env PMIX_INT8_ATTN=1) runs QK^T on the int8 MXU path
+    with per-row dynamic scales — inference only (the vjp stays bf16)."""
+    if int8_qk is None:
+        import os as _os
+
+        int8_qk = _os.environ.get("PMIX_INT8_ATTN", "0") == "1"
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
     if causal and sq != skv:
@@ -496,7 +552,8 @@ def flash_attention(
     kt, _ = _pad_to(kt, 2, block_k)
     vt, _ = _pad_to(vt, 2, block_k)
 
-    o = _flash_attention(qt, kt, vt, segment_ids, scale, causal, block_q, block_k, mask_value)
+    o = _flash_attention(qt, kt, vt, segment_ids, scale, causal, block_q,
+                         block_k, mask_value, int8_qk)
     o = o[:, :, :sq, :d]
     return jnp.swapaxes(o, 1, 2)
 

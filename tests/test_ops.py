@@ -125,6 +125,31 @@ def test_flash_attention_matches_math(causal):
     np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_m), atol=2e-5)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attention_int8_qk(causal):
+    """int8 QK^T path (PMIX_INT8_ATTN / int8_qk=True): per-row dynamic
+    scales keep the softmax output within int8 logit error of the math
+    path. D=64 on purpose — the shape whose bf16 contraction idles half
+    the MXU, which is what this path exists to fix."""
+    b, s, h, d = 1, 256, 2, 64
+    q, k, v = rand(b, s, h, d), rand(b, s, h, d, key=1), rand(b, s, h, d, key=2)
+    o_f = flash_attention(q, k, v, causal=causal, block_q=128, block_k=128,
+                          int8_qk=True)
+    o_m = attention_xla(q, k, v, causal=causal)
+    # int8 logits -> softmax output error ~1e-2 abs worst-element; causal is
+    # the worst case (few-key rows don't average the logit error out). Well
+    # below the quant noise of the surrounding a8w8 matmuls either way.
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_m),
+                               atol=2.5e-2 if causal else 1e-2)
+    # and a GQA + segments combination through the same path
+    q4 = rand(b, s, 4, d, key=3)
+    seg = SegmentIds(jnp.ones((b, s), jnp.int32), jnp.ones((b, s), jnp.int32))
+    o_g = flash_attention(q4, k, v, segment_ids=seg, block_q=128, block_k=128,
+                          int8_qk=True)
+    o_gm = attention_xla(q4, k, v, segment_ids=seg)
+    np.testing.assert_allclose(np.asarray(o_g), np.asarray(o_gm), atol=1e-2)
+
+
 def test_flash_attention_gqa():
     b, s, d = 1, 256, 128
     q = rand(b, s, 4, d)
