@@ -265,8 +265,13 @@ def main():
     unet = _unet(unet_cfg, jnp.bfloat16)
     print(f"# unet built {time.time()-t_setup:.0f}s", file=sys.stderr)
 
-    # SDXL VAE (random weights, real architecture)
-    vae_cfg = AutoencoderKLConfig(sample_size=res, scaling_factor=0.13025)
+    # SDXL VAE (random weights, real architecture). The decoder carries ~58 ms
+    # of 3x3 convs at 1024px (xprof, tools/profile_vae.py) — quantize it with
+    # the same static-scale a8w8 recipe as the UNet (BENCH_VAE_QUANT=0 for bf16)
+    vae_quant = (quant_mode == "a8w8_static"
+                 and os.environ.get("BENCH_VAE_QUANT", "1") == "1")
+    vae_cfg = AutoencoderKLConfig(sample_size=res, scaling_factor=0.13025,
+                                  quant="a8w8_static" if vae_quant else None)
     vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
     v_args, v_kwargs = AutoencoderKL.example_inputs(vae_cfg)
     v_shapes = jax.eval_shape(
@@ -350,6 +355,14 @@ def main():
                                                      "time_ids": time_ids})
             return jnp.stack(ctx.scales)
 
+        def calib_vae(vparams, z):
+            # VAE decoder scales, recorded separately and APPENDED: the
+            # denoise trace consumes scales in call order (UNet loop body
+            # first, then vae.decode), so apply = unet_scales + vae_scales
+            with static_a8w8_scope("record") as ctx:
+                vae.module.apply({"params": vparams}, z, method=vae.module.decode)
+            return jnp.stack(ctx.scales)
+
         # the axon relay never persists XLA executables, so the 771-output
         # calibration program recompiles every run (~4-9 min). The scales are
         # deterministic (seeded random weights) — cache them on disk, keyed
@@ -362,14 +375,19 @@ def main():
              for path, leaf in
              jax.tree_util.tree_flatten_with_path(unet.params)[0])
         )).encode()).hexdigest()[:10]
+        vtag = "_vq" if vae_quant else ""
         cache_f = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               f".bench_scales_sdxl_{res}_{batch}_{shape_sig}.npy")
+                               f".bench_scales_sdxl_{res}_{batch}_{shape_sig}{vtag}.npy")
         if os.path.exists(cache_f):
             scales = np.load(cache_f)
             print(f"# loaded {len(scales)} calibrated scales from cache",
                   file=sys.stderr)
         else:
             scales = np.asarray(jax.jit(calib)(unet.params, lat0_in, t_in0, context))
+            if vae_quant:
+                vs = np.asarray(jax.jit(calib_vae)(
+                    vae.params, (latents0 / 0.13025).astype(jnp.bfloat16)))
+                scales = np.concatenate([scales, vs])
             np.save(cache_f, scales)
             print(f"# calibrated {len(scales)} quantized ops", file=sys.stderr)
         quant_ctx = static_a8w8_scope("apply", [float(v) for v in scales])

@@ -31,6 +31,11 @@ class AutoencoderKLConfig(BaseConfig):
     scaling_factor: float = 0.18215
     shift_factor: Optional[float] = None
     mid_block_add_attention: bool = True
+    # int8 conv mode for the DECODER only ("a8w8" dynamic / "a8w8_static"
+    # trace-order calibrated — see ops/quant.py). The decoder carries ~6 TFLOP
+    # of 3x3 convs at 1024px (58 ms of the 83 ms decode, xprof
+    # tools/profile_vae.py); the encoder stays bf16 (training path).
+    quant: Optional[str] = None
 
 
 class DiagonalGaussian(NamedTuple):
@@ -72,15 +77,17 @@ class UpDecoderBlock2D(nn.Module):
     num_layers: int
     add_upsample: bool
     groups: int = 32
+    quant: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for j in range(self.num_layers):
-            x = ResnetBlock2D(self.out_channels, groups=self.groups, dtype=self.dtype,
-                              name=f"resnets_{j}")(x)
+            x = ResnetBlock2D(self.out_channels, groups=self.groups, quant=self.quant,
+                              dtype=self.dtype, name=f"resnets_{j}")(x)
         if self.add_upsample:
-            x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
+            x = Upsample2D(self.out_channels, quant=self.quant, dtype=self.dtype,
+                           name="upsamplers_0")(x)
         return x
 
 
@@ -88,14 +95,17 @@ class VAEMidBlock(nn.Module):
     channels: int
     add_attention: bool
     groups: int = 32
+    quant: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = ResnetBlock2D(self.channels, groups=self.groups, dtype=self.dtype, name="resnets_0")(x)
+        x = ResnetBlock2D(self.channels, groups=self.groups, quant=self.quant,
+                          dtype=self.dtype, name="resnets_0")(x)
         if self.add_attention:
             x = AttentionBlock2D(groups=self.groups, dtype=self.dtype, name="attentions_0")(x)
-        x = ResnetBlock2D(self.channels, groups=self.groups, dtype=self.dtype, name="resnets_1")(x)
+        x = ResnetBlock2D(self.channels, groups=self.groups, quant=self.quant,
+                          dtype=self.dtype, name="resnets_1")(x)
         return x
 
 
@@ -131,12 +141,13 @@ class Decoder(nn.Module):
         g = cfg.norm_num_groups
         rev = list(reversed(cfg.block_out_channels))
         x = nn.Conv(rev[0], (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_in")(z)
-        x = VAEMidBlock(rev[0], cfg.mid_block_add_attention, groups=g, dtype=self.dtype,
-                        name="mid_block")(x)
+        x = VAEMidBlock(rev[0], cfg.mid_block_add_attention, groups=g, quant=cfg.quant,
+                        dtype=self.dtype, name="mid_block")(x)
         for i, ch in enumerate(rev):
             last = i == len(rev) - 1
             x = UpDecoderBlock2D(ch, cfg.layers_per_block + 1, add_upsample=not last,
-                                 groups=g, dtype=self.dtype, name=f"up_blocks_{i}")(x)
+                                 groups=g, quant=cfg.quant, dtype=self.dtype,
+                                 name=f"up_blocks_{i}")(x)
         x = nn.GroupNorm(num_groups=g, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),

@@ -198,3 +198,47 @@ def test_quant_quality_gate_full_denoise():
     fid_q = compute_fid(flat_fp, flat_q)
     fid_far = compute_fid(flat_fp, unrelated)
     assert fid_q < 0.2 * fid_far, (fid_q, fid_far)
+
+
+def test_vae_decoder_static_a8w8():
+    """AutoencoderKLConfig(quant="a8w8_static") quantizes the DECODER's resnet
+    and up/mid convs through the trace-order scope: record a decode, then an
+    apply-trace decode must stay close to bf16 (and actually differ). The
+    encoder is untouched (training path)."""
+    from paddlemix_tpu.diffusers.models import AutoencoderKL, AutoencoderKLConfig
+    from paddlemix_tpu.ops.quant import static_a8w8_scope
+
+    cfg = dict(block_out_channels=(16, 32), norm_num_groups=8,
+               layers_per_block=1, sample_size=32)
+    vae_q = AutoencoderKL(AutoencoderKLConfig(quant="a8w8_static", **cfg))
+    vae_f = AutoencoderKL(AutoencoderKLConfig(**cfg))
+    a, kw = AutoencoderKL.example_inputs(vae_q.config)
+    vae_q.params = vae_q.module.init(jax.random.PRNGKey(1), *a, **kw)["params"]
+    vae_f.params = vae_q.params  # same tree: quant only swaps the conv impl
+
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 4))
+
+    ref = np.asarray(vae_f.decode(z))
+
+    def calib(p, z):
+        with static_a8w8_scope("record") as ctx:
+            vae_q.module.apply({"params": p}, z, method=vae_q.module.decode)
+        return jnp.stack(ctx.scales)
+
+    scales = np.asarray(jax.jit(calib)(vae_q.params, z))
+    assert len(scales) >= 7  # mid 2 resnets x2 convs + up resnets + upsampler
+
+    with static_a8w8_scope("apply", [float(s) for s in scales]):
+        q = np.asarray(jax.jit(
+            lambda p, z: vae_q.module.apply({"params": p}, z,
+                                            method=vae_q.module.decode)
+        )(vae_q.params, z))
+
+    assert np.isfinite(q).all()
+    rel = np.abs(q - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert 1e-6 < rel < 0.35, rel  # really int8, still close to fp
+
+    # encoder path is untouched by the scope
+    enc_q = np.asarray(vae_q.encode(jnp.ones((1, 32, 32, 3))).mean)
+    enc_f = np.asarray(vae_f.encode(jnp.ones((1, 32, 32, 3))).mean)
+    np.testing.assert_allclose(enc_q, enc_f, atol=1e-6)

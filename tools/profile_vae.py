@@ -44,7 +44,7 @@ def main():
         def body(i, z):
             img = vae.module.apply({"params": params}, z,
                                    method=vae.module.decode)
-            return z + 0.0 * img[:, :lat, :lat, :4].astype(z.dtype)
+            return z + (0.0 * jnp.sum(img)).astype(z.dtype)
         return jax.lax.fori_loop(0, 4, body, z)
 
     t0 = time.time()
