@@ -13,7 +13,7 @@ from flax import linen as nn
 from ...core.config import BaseConfig
 from ...core.modeling import PretrainedModel
 from .attention import AttentionBlock2D
-from .resnet import Downsample2D, ResnetBlock2D, Upsample2D
+from .resnet import Downsample2D, GroupNormAct, ResnetBlock2D, Upsample2D
 
 
 @dataclasses.dataclass
@@ -125,8 +125,9 @@ class Encoder(nn.Module):
                                    groups=g, dtype=self.dtype, name=f"down_blocks_{i}")(x)
         x = VAEMidBlock(cfg.block_out_channels[-1], cfg.mid_block_add_attention, groups=g,
                         dtype=self.dtype, name="mid_block")(x)
-        x = nn.GroupNorm(num_groups=g, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        # fused reshape-free GN+SiLU (flax's grouped-reshape reduce makes XLA
+        # emit full-tensor fp32 layout copies at these spatial sizes)
+        x = GroupNormAct(groups=g, eps=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=((1, 1), (1, 1)),
                        dtype=self.dtype, name="conv_out")(x)
 
@@ -148,8 +149,7 @@ class Decoder(nn.Module):
             x = UpDecoderBlock2D(ch, cfg.layers_per_block + 1, add_upsample=not last,
                                  groups=g, quant=cfg.quant, dtype=self.dtype,
                                  name=f"up_blocks_{i}")(x)
-        x = nn.GroupNorm(num_groups=g, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = GroupNormAct(groups=g, eps=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
         return nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                        dtype=self.dtype, name="conv_out")(x)
 
