@@ -6,6 +6,13 @@ Subcommands:
   fp16-safetensors PATH    — re-save a checkpoint dir's weights in fp16/bf16
   convert PATH OUT         — convert a torch .bin/.safetensors state dict to
                              a flax msgpack checkpoint for a given model class
+  convert-pipeline SRC OUT — convert a whole diffusers-layout pipeline dir
+                             (or a single-file LDM .ckpt/.safetensors) to a
+                             native pipeline dir. One generic command in
+                             place of the reference's 16 per-family scripts
+                             (ppdiffusers/scripts/convert_diffusers_model/):
+                             the registry + per-model torch key maps resolve
+                             every family the registry knows
 """
 
 from __future__ import annotations
@@ -90,6 +97,32 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_convert_pipeline(args) -> int:
+    """Diffusers/torch pipeline dir (or single-file ckpt) -> native pipeline.
+
+    Replaces the reference's per-family converter scripts
+    (ppdiffusers/scripts/convert_diffusers_model/convert_diffusers_*.py):
+    `DiffusionPipeline.from_pretrained` already performs the torch->flax
+    weight conversion through each component's torch_key_map, so converting
+    any family is load + save."""
+    import jax.numpy as jnp
+
+    dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
+             "fp16": jnp.float16}[args.dtype]
+    if os.path.isfile(args.src):  # single-file LDM checkpoint
+        from .diffusers import load_pipeline_from_single_file
+
+        pipe = load_pipeline_from_single_file(args.src, dtype=dtype)
+    else:
+        from .diffusers import DiffusionPipeline
+
+        pipe = DiffusionPipeline.from_pretrained(args.src, dtype=dtype)
+    pipe.save_pretrained(args.output)
+    print(f"converted {args.src} -> {args.output} "
+          f"({type(pipe).__name__}, {args.dtype})")
+    return 0
+
+
 def cmd_merge_lora(args) -> int:
     """Fold a LoRA adapter into base weights and save the merged model
     (reference paddlemix/tools/merge_lora_params.py)."""
@@ -125,6 +158,12 @@ def main(argv=None) -> int:
     p.add_argument("--model-class", required=True,
                    help="e.g. paddlemix_tpu.models.llama.LlamaForCausalLM")
 
+    p = sub.add_parser("convert-pipeline", help="diffusers pipeline dir or "
+                       "single-file ckpt -> native pipeline dir")
+    p.add_argument("src")
+    p.add_argument("output")
+    p.add_argument("--dtype", choices=["fp32", "bf16", "fp16"], default="fp32")
+
     p = sub.add_parser("merge-lora", help="fold a LoRA adapter into base "
                        "weights (reference tools/merge_lora_params.py)")
     p.add_argument("model_name_or_path")
@@ -136,6 +175,7 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     return {"env": cmd_env, "fp16-safetensors": cmd_fp16_safetensors,
             "convert": cmd_convert,
+            "convert-pipeline": cmd_convert_pipeline,
             "merge-lora": cmd_merge_lora}[args.command](args)
 
 
