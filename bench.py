@@ -425,9 +425,16 @@ def main():
         # fixed_ms isolates VAE decode + dispatch
         t2, band2 = med(run2)
         step_ms = (t2 - t1) / steps * 1e3
+        # MFU vs the v5e bf16 peak (197 TF/s): the SDXL UNet forward is
+        # ~12.4 TFLOP at CFG batch 2 per image (README rooflines); bf16
+        # speed-of-light at this recipe is ~62 ms/step/image
+        unet_tflop = 12.4 * batch * (res / 1024) ** 2
+        mfu = unet_tflop / max(step_ms, 1e-9) * 1e3 / 197.0
         extra = {"step_ms": round(step_ms, 2),
                  "fixed_ms": round((t1 - step_ms * steps / 1e3) * 1e3, 1),
-                 "rep_band_ms": round(max(band1, band2) * 1e3, 1)}
+                 "rep_band_ms": round(max(band1, band2) * 1e3, 1),
+                 "mfu_vs_bf16_peak": round(mfu, 4),
+                 "sol_bf16_imgs_per_sec": round(1.0 / (62e-3 * steps), 3)}
 
     print(json.dumps({
         "metric": f"sdxl_{res}px_{steps}step_imgs_per_sec_per_chip",
