@@ -175,7 +175,7 @@ def quantizing_dot_general(lhs, rhs, dimension_numbers, precision=None,
     sw = jnp.maximum(wmax.astype(jnp.float32), 1e-8) / 127.0
     wq = jnp.clip(jnp.round(rhs.astype(jnp.float32) / sw), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(xq, wq, dimension_numbers,
-                              preferred_element_type=jnp.int32)
+                              preferred_element_type=_int8_acc_dtype())
     return (acc.astype(jnp.float32) * sx * sw).astype(lhs.dtype)
 
 
@@ -209,8 +209,8 @@ def quantizing_conv_general_dilated(lhs, rhs, window_strides, padding,
     wmax = jnp.max(jnp.abs(rhs), axis=red, keepdims=True)
     sw = jnp.maximum(wmax.astype(jnp.float32), 1e-8) / 127.0
     wq = jnp.clip(jnp.round(rhs.astype(jnp.float32) / sw), -127, 127).astype(jnp.int8)
-    acc = jax.lax.conv_general_dilated(xq, wq, preferred_element_type=jnp.int32,
-                                       **kwargs)
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, preferred_element_type=_int8_acc_dtype(), **kwargs)
     c_axis = dn.out_spec[1]
     sw_bshape = [1] * acc.ndim
     sw_bshape[c_axis] = acc.shape[c_axis]
@@ -222,6 +222,15 @@ def np_prod(xs):
     for v in xs:
         out *= int(v)
     return out
+
+
+def _int8_acc_dtype():
+    """Accumulator dtype requested from int8 XLA dots/convs in the static
+    a8w8 path. f32 (default) keeps the exact s32 MXU accumulation but converts
+    in the op epilogue, so no raw s32 tensor is written to HBM; PMIX_INT8_S32=1
+    restores the old behavior (s32 out + separate dequant fusion)."""
+    import os
+    return jnp.int32 if os.environ.get("PMIX_INT8_S32", "0") == "1" else jnp.float32
 
 
 def _int8_backend(env_name: str) -> str:
@@ -346,8 +355,13 @@ def static_quant_dot_general(lhs, rhs, dimension_numbers, precision=None,
     wmax = jnp.max(jnp.abs(rhs.astype(jnp.float32)), axis=0, keepdims=True)
     sw = jnp.maximum(wmax, 1e-8) / 127.0
     wq = jnp.clip(jnp.round(rhs.astype(jnp.float32) / sw), -127, 127).astype(jnp.int8)
+    # f32-preferred output keeps the s32 accumulator in the MXU epilogue:
+    # with preferred s32, XLA materializes raw s32[.., N] accumulators to HBM
+    # (2x the bytes of bf16) and dequants in a separate loop fusion — the
+    # a8w8 step profile attributes ~24 ms/step to those chains. The MXU still
+    # accumulates exact s32; only the convert moves inside the op.
     acc = jax.lax.dot_general(xq, wq, dimension_numbers,
-                              preferred_element_type=jnp.int32)
+                              preferred_element_type=_int8_acc_dtype())
     return (acc.astype(jnp.float32) * sx * sw).astype(lhs.dtype)
 
 
@@ -398,8 +412,8 @@ def static_quant_conv_general_dilated(lhs, rhs, window_strides, padding,
     wmax = jnp.max(jnp.abs(rhs.astype(jnp.float32)), axis=red, keepdims=True)
     sw = jnp.maximum(wmax, 1e-8) / 127.0
     wq = jnp.clip(jnp.round(rhs.astype(jnp.float32) / sw), -127, 127).astype(jnp.int8)
-    acc = jax.lax.conv_general_dilated(xq, wq, preferred_element_type=jnp.int32,
-                                       **kwargs)
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, preferred_element_type=_int8_acc_dtype(), **kwargs)
     c_axis = dn.out_spec[1]
     sw_bshape = [1] * acc.ndim
     sw_bshape[c_axis] = acc.shape[c_axis]
