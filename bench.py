@@ -1,6 +1,10 @@
-"""Benchmark: SDXL-class 1024px text-to-image throughput on one TPU chip.
+"""Benchmark: the three BASELINE.json metrics on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default invocation prints THREE JSON lines, one per metric — CLIP ViT-B/16
+pairs/s, LLaVA-1.5-7B decode tokens/s, and (last, the flagship) SDXL 1024px
+imgs/s — each {"metric", "value", "unit", "vs_baseline"}. The CLIP/LLaVA
+sub-benches run in their own subprocesses (own HBM arena, crash isolation);
+BENCH_MODE=sdxl|llava|clip runs a single metric.
 Baseline: BASELINE.json target SDXL 1024px >= 1.5 imgs/s/chip on v5e.
 
 Measures the denoise loop (CFG batch 2, 25 steps, bf16) + VAE decode with the
@@ -221,6 +225,25 @@ def bench_clip_pairs():
           file=sys.stderr)
 
 
+def _run_submode(mode):
+    """Run one bench mode in a fresh subprocess (own HBM arena, crash
+    isolation) and forward its JSON line(s) to our stdout."""
+    import subprocess
+
+    env = dict(os.environ, BENCH_MODE=mode)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        capture_output=True, text=True, timeout=1800)
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            print(line)
+    tail = "\n".join(proc.stderr.strip().splitlines()[-3:])
+    print(f"# [{mode}] {tail}", file=sys.stderr)
+    if proc.returncode != 0:
+        print(f"# [{mode}] FAILED rc={proc.returncode}", file=sys.stderr)
+
+
 def main():
     if os.environ.get("BENCH_MODE") == "llava":
         bench_llava_decode()
@@ -228,9 +251,22 @@ def main():
     if os.environ.get("BENCH_MODE") == "clip":
         bench_clip_pairs()
         return
+    if os.environ.get("BENCH_MODE") not in (None, "", "all", "sdxl"):
+        raise SystemExit(f"unknown BENCH_MODE={os.environ['BENCH_MODE']}")
+    if os.environ.get("BENCH_MODE") in (None, "", "all"):
+        # default invocation reports ALL THREE BASELINE metrics (BASELINE.json:
+        # SDXL imgs/s + LLaVA tok/s + CLIP pairs/s), each in its own process
+        # so the 7B LLaVA params and the SDXL UNet never share the 16G HBM.
+        # SDXL (the flagship metric) runs last in THIS process, so its JSON is
+        # the final line.
+        for mode in ("clip", "llava"):
+            try:
+                _run_submode(mode)
+            except Exception as e:  # a sub-bench must never sink the flagship
+                print(f"# [{mode}] error: {e}", file=sys.stderr)
     steps = int(os.environ.get("BENCH_STEPS", 25))
     res = int(os.environ.get("BENCH_RES", 1024))
-    reps = int(os.environ.get("BENCH_REPS", 3))
+    reps = int(os.environ.get("BENCH_REPS", 5))
     batch = int(os.environ.get("BENCH_BATCH", 1))
     lat = res // 8
 

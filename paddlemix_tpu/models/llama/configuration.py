@@ -50,6 +50,25 @@ class LlamaConfig(BaseConfig):
     # `recompute` / torch gradient_checkpointing): trades ~30% step FLOPs for
     # O(L) -> O(1) layer-activation memory. jax.checkpoint under the hood.
     gradient_checkpointing: bool = False
+    # QWen-v1 long-context options (the reference Qwen-VL LLM backbone lives
+    # in PaddleNLP's QWen: NTK-aware rope + logn attention scaling).
+    # NTK: theta_eff = rope_theta * alpha^(hd/(hd-2)); QWen's dynamic variant
+    # picks alpha = 2^ceil(log2(ctx/seq_length)+1) - 1 per context length —
+    # static shapes on TPU mean the caller computes alpha once from the
+    # compiled max context (ntk_alpha_for()).
+    rope_ntk_alpha: float = 1.0
+    # logn scaling: q at position i (1-based) is scaled by
+    # max(log(i)/log(logn_seq_length), 1) — extrapolation damping past the
+    # train length.
+    use_logn_attn: bool = False
+    logn_seq_length: int = 2048
+
+    def ntk_alpha_for(self, context_length: int) -> float:
+        """QWen dynamic-NTK alpha for a given (static) max context."""
+        import math
+
+        ratio = max(context_length / self.logn_seq_length, 1.0)
+        return max(2 ** math.ceil(math.log2(ratio) + 1) - 1, 1.0)
 
     @property
     def kv_heads(self) -> int:

@@ -221,8 +221,19 @@ class LlamaAttention(nn.Module):
         if rope_override is not None:
             cos, sin = rope_override  # e.g. Qwen2-VL M-RoPE (ops/rope.py)
         else:
-            cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)
+            theta = cfg.rope_theta
+            alpha = getattr(cfg, "rope_ntk_alpha", 1.0)
+            if alpha and alpha != 1.0:  # QWen NTK-aware rope (static alpha)
+                theta = theta * alpha ** (hd / (hd - 2))
+            cos, sin = rope_cos_sin(positions, hd, theta)
         q, k = apply_rope(q, k, cos, sin)
+        if getattr(cfg, "use_logn_attn", False):
+            # QWen logn attention: damp extrapolated positions past the train
+            # length (scale only kicks in for 1-based position > logn_seq_length)
+            n0 = float(getattr(cfg, "logn_seq_length", 2048))
+            pos1 = jnp.maximum(positions, 0).astype(jnp.float32) + 1.0
+            logn = jnp.maximum(jnp.log(pos1) / jnp.log(n0), 1.0)
+            q = (q.astype(jnp.float32) * logn[:, :, None, None]).astype(q.dtype)
 
         new_cache = None
         from .paged import PagedKVCache

@@ -1,27 +1,31 @@
 """Qwen-VL (v1): ViT-bigG tower + cross-attention Resampler + QWen LLM.
 
-Rebuild of the reference (paddlemix/models/qwen_vl/modeling.py, 1655 LoC):
-the visual Resampler compresses the patch grid to 256 learned queries with a
-single cross-attention (a Q-Former-lite); visual tokens are spliced between
-<img>/<img> markers in the prompt — here via the same static cumsum scatter as
-LLaVA. The QWen LLM maps onto models.llama (rotary + RMSNorm + qkv bias)."""
+Rebuild of the reference (paddlemix/models/qwen_vl/modeling.py 461 LoC +
+qwen_vit.py 312 + visual.py 205): the real ViT-bigG trunk (448px/14,
+width 1664, 48 layers, bicubic-interpolated 16x16 abs pos embed) feeds a
+256-query Resampler with 2D sincos pos embeds (visual.py:73-138); visual
+tokens are spliced between <img>/</img> markers in the prompt — here via the
+same static cumsum scatter as LLaVA. The QWen LLM maps onto models.llama
+(rotary + RMSNorm + qkv attention bias) with the QWen long-context options
+surfaced in LlamaConfig: NTK-aware rope (`rope_ntk_alpha`) and logn attention
+scaling (`use_logn_attn`) — in the reference those live in PaddleNLP's QWen
+backbone (SURVEY.md L0)."""
 
 from __future__ import annotations
 
 import dataclasses
+import re
 from typing import Any, Dict, Optional
 
-import jax
+import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ...core.config import BaseConfig
-from ...core.modeling import PretrainedModel
-from ...ops import scaled_dot_product_attention
-from ..clip.configuration import CLIPVisionConfig
-from ..clip.modeling import CLIPVisionTransformer
+from ...core.modeling import PretrainedModel, convert_torch_state_dict
 from ..llama.configuration import LlamaConfig
 from ..llama.modeling import KVCache, LlamaModule
+from .visual import QwenVisionConfig, QwenVisionTransformer
 
 
 @dataclasses.dataclass
@@ -37,41 +41,25 @@ class QwenVLConfig(BaseConfig):
         self.text_config = self.text_config or {}
 
     @property
-    def vision(self) -> CLIPVisionConfig:
-        return CLIPVisionConfig.from_dict(self.vision_config)
+    def vision(self) -> QwenVisionConfig:
+        d = dict(self.vision_config)
+        # accept CLIP-style aliases (earlier configs / HF "visual" blocks)
+        alias = {"hidden_size": "width", "num_hidden_layers": "layers",
+                 "num_attention_heads": "heads"}
+        for src, dst in alias.items():
+            if src in d and dst not in d:
+                d[dst] = d.pop(src)
+            d.pop(src, None)
+        if "intermediate_size" in d:
+            inter = d.pop("intermediate_size")
+            if "width" in d and "mlp_ratio" not in d:
+                d["mlp_ratio"] = inter / d["width"]
+        d.setdefault("output_dim", self.text.hidden_size)
+        return QwenVisionConfig.from_dict(d)
 
     @property
     def text(self) -> LlamaConfig:
         return LlamaConfig.from_dict(dict(self.text_config, attention_bias=True))
-
-
-class Resampler(nn.Module):
-    """num_queries learned queries cross-attend the patch grid once
-    (reference qwen_vl visual.py Resampler)."""
-
-    num_queries: int
-    out_dim: int
-    num_heads: int = 8
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, image_feats):
-        b, n, d_in = image_feats.shape
-        d = self.out_dim
-        queries = self.param("query", nn.initializers.normal(0.02),
-                             (self.num_queries, d))
-        kv = nn.Dense(d, dtype=self.dtype, name="kv_proj")(image_feats)
-        kv = nn.LayerNorm(dtype=self.dtype, name="ln_kv")(kv)
-        q = nn.LayerNorm(dtype=self.dtype, name="ln_q")(
-            jnp.broadcast_to(queries, (b, self.num_queries, d)).astype(self.dtype))
-        hd = d // self.num_heads
-        qq = nn.Dense(d, dtype=self.dtype, name="q_proj")(q).reshape(
-            b, self.num_queries, self.num_heads, hd)
-        kk = nn.Dense(d, dtype=self.dtype, name="k_proj")(kv).reshape(b, n, self.num_heads, hd)
-        vv = nn.Dense(d, dtype=self.dtype, name="v_proj")(kv).reshape(b, n, self.num_heads, hd)
-        out = scaled_dot_product_attention(qq, kk, vv).reshape(b, self.num_queries, d)
-        out = nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
-        return nn.LayerNorm(dtype=self.dtype, name="ln_post")(out)
 
 
 class QwenVLModule(nn.Module):
@@ -80,14 +68,12 @@ class QwenVLModule(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.visual = CLIPVisionTransformer(cfg.vision, dtype=self.dtype)
-        self.resampler = Resampler(cfg.num_queries, cfg.text.hidden_size,
-                                   dtype=self.dtype)
+        self.visual = QwenVisionTransformer(cfg.vision, num_queries=cfg.num_queries,
+                                            dtype=self.dtype)
         self.language_model = LlamaModule(cfg.text, dtype=self.dtype)
 
     def encode_images(self, pixel_values):
-        feats, _ = self.visual(pixel_values)
-        return self.resampler(feats[:, 1:])  # drop CLS
+        return self.visual(pixel_values)
 
     def splice(self, input_ids, image_features):
         token_embeds = self.language_model.embed(input_ids)
@@ -111,9 +97,57 @@ class QwenVLModule(nn.Module):
                                    segment_ids=segment_ids, cache=cache)
 
 
+# HF/paddle Qwen-VL checkpoint keys -> flax tree. The LLM half
+# (transformer.h.N.*) reuses the QWen->llama renames; the visual half maps
+# onto visual.py's checkpoint-shaped tree.
+_QWEN_VL_KEY_MAP = (
+    (r"^transformer\.visual\.", r"visual."),
+    (r"^visual\.transformer\.resblocks\.(\d+)\.", r"visual.resblocks_\1."),
+    (r"^visual\.resblocks\.(\d+)\.", r"visual.resblocks_\1."),
+    (r"\.attn\.in_proj\.", r".in_proj."),
+    (r"\.attn\.out_proj\.", r".out_proj."),
+    (r"\.mlp\.c_fc\.", r".c_fc."),
+    (r"\.mlp\.c_proj\.", r".c_proj."),
+    # QWen LLM (PaddleNLP/HF QWen naming) -> llama module names
+    (r"^transformer\.wte\.", r"language_model.embed_tokens."),
+    (r"^transformer\.h\.(\d+)\.", r"language_model.layers_\1."),
+    (r"^transformer\.ln_f\.", r"language_model.norm."),
+    (r"^lm_head\.", r"language_model.lm_head."),
+    (r"\.attn\.c_attn\.", r".self_attn.qkv_proj."),
+    (r"\.attn\.c_proj\.", r".self_attn.o_proj."),
+    (r"^(language_model\.layers_\d+)\.ln_1\.weight$", r"\1.input_layernorm.scale"),
+    (r"^(language_model\.layers_\d+)\.ln_2\.weight$", r"\1.post_attention_layernorm.scale"),
+    (r"\.mlp\.w1\.", r".mlp.up_proj."),
+    (r"\.mlp\.w2\.", r".mlp.gate_proj."),
+    (r"(ln_q|ln_kv|ln_post|ln_pre|ln_1|ln_2)\.weight$", r"\1.scale"),
+    (r"\.weight$", r".kernel"),
+)
+
+
 class QwenVLForConditionalGeneration(PretrainedModel):
     config_class = QwenVLConfig
     module_class = QwenVLModule
+    torch_key_map = _QWEN_VL_KEY_MAP
+
+    @classmethod
+    def convert_foreign_state_dict(cls, flat, config):
+        out = {}
+        for k, v in flat.items():
+            # torch nn.MultiheadAttention packs q/k/v ([Q;K;V] global layout)
+            # in the Resampler; the paddle port stores them separately
+            m = re.match(r"^(.*attn_pool)\.attn\.in_proj_(weight|bias)$", k)
+            if m:
+                prefix, kind = m.groups()
+                q, kk, vv = np.split(v, 3, axis=0)
+                suffix = "weight" if kind == "weight" else "bias"
+                out[f"{prefix}.q_proj.{suffix}"] = q
+                out[f"{prefix}.k_proj.{suffix}"] = kk
+                out[f"{prefix}.v_proj.{suffix}"] = vv
+            elif re.search(r"attn_pool\.attn\.out_proj", k):
+                out[k.replace("attn.out_proj", "out_proj")] = v
+            else:
+                out[k] = v
+        return convert_torch_state_dict(out, cls.torch_key_map)
 
     @classmethod
     def example_inputs(cls, config):
