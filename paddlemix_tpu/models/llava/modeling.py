@@ -43,6 +43,11 @@ class LlavaConfig(BaseConfig):
     # reference paddlemix/models/llava/siglip_encoder.py)
     vision_tower_type: str = "clip"
     ignore_index: int = -100
+    # LLaVA-NeXT anyres (reference base_model.py:136-215 + mm_utils.py:55-181)
+    image_aspect_ratio: str = "square"  # "square" | "pad" | "anyres"
+    image_grid_pinpoints: Any = ((336, 672), (672, 336), (672, 672),
+                                 (1008, 336), (336, 1008))
+    mm_patch_merge_type: str = "flat"  # "flat" | "spatial" | "spatial_unpad"
 
     def __post_init__(self):
         self.vision_config = self.vision_config or {}
@@ -101,6 +106,12 @@ class LlavaModule(nn.Module):
                                                  self.config.mm_projector_type,
                                                  dtype=self.dtype)
         self.language_model = LlamaModule(self.config.text, dtype=self.dtype)
+        if "unpad" in self.config.mm_patch_merge_type:
+            # row separator token appended to every unpadded feature row
+            # (reference base_model.py:39-47 image_newline)
+            d = self.config.text.hidden_size
+            self.image_newline = self.param(
+                "image_newline", nn.initializers.normal(1.0 / jnp.sqrt(d)), (d,))
 
     def encode_images(self, pixel_values):
         """(B, H, W, 3) or interleaved (B, N, H, W, 3) ->
@@ -120,6 +131,49 @@ class LlavaModule(nn.Module):
             feats = feats.reshape(b, n_imgs * feats.shape[1], -1)
         return feats
 
+    def merge_anyres_features(self, feats, image_size):
+        """LLaVA-NeXT anyres merge (reference base_model.py:162-205): tile
+        features re-assembled on the padded canvas grid, unpadded back to the
+        original aspect, an image_newline column appended per row, prefixed
+        by the global-view features. `image_size` is a STATIC (width, height)
+        tuple, so every slice below is static-shape under jit; `feats` is
+        (1 + n_tiles, patches, d) post-projector."""
+        from ...processors.llava_processing import (
+            get_anyres_image_grid_shape,
+            unpad_hw,
+        )
+
+        cfg = self.config
+        v = cfg.vision
+        side = v.image_size // v.patch_size
+        d = feats.shape[-1]
+        base, tiles = feats[0], feats[1:]
+        if tiles.shape[0] == 0:
+            if "unpad" in cfg.mm_patch_merge_type:
+                return jnp.concatenate(
+                    [base, self.image_newline.astype(base.dtype)[None]], axis=0)
+            return base
+        nw, nh = get_anyres_image_grid_shape(tuple(image_size),
+                                             cfg.image_grid_pinpoints,
+                                             v.image_size)
+        x = tiles.reshape(nh, nw, side, side, d)
+        x = x.transpose(0, 2, 1, 3, 4).reshape(nh * side, nw * side, d)
+        if "unpad" in cfg.mm_patch_merge_type:
+            ph, hk, pw, wk = unpad_hw(tuple(image_size),
+                                      (nh * side, nw * side))
+            x = x[ph:ph + hk, pw:pw + wk]
+            nl = jnp.broadcast_to(self.image_newline.astype(x.dtype)[None, None],
+                                  (hk, 1, d))
+            x = jnp.concatenate([x, nl], axis=1).reshape(hk * (wk + 1), d)
+        else:
+            x = x.reshape(nh * side * nw * side, d)
+        return jnp.concatenate([base, x], axis=0)
+
+    def encode_images_anyres(self, pixel_values, image_size):
+        """(1 + n_tiles, H, W, 3) crops of ONE image -> (1, T, d)."""
+        feats = self.encode_images(pixel_values)
+        return self.merge_anyres_features(feats, image_size)[None]
+
     def splice_image_features(self, input_ids, image_features):
         """Static-shape swap of image placeholder tokens for vision features."""
         token_embeds = self.language_model.embed(input_ids)
@@ -130,9 +184,15 @@ class LlavaModule(nn.Module):
         return jnp.where(is_img[:, :, None], gathered.astype(token_embeds.dtype), token_embeds)
 
     def __call__(self, input_ids, pixel_values=None, positions=None, *,
-                 segment_ids=None, cache: Optional[KVCache] = None):
+                 segment_ids=None, cache: Optional[KVCache] = None,
+                 image_sizes=None):
         if pixel_values is not None:
-            image_features = self.encode_images(pixel_values)
+            if (self.config.image_aspect_ratio == "anyres"
+                    and image_sizes is not None):
+                image_features = self.encode_images_anyres(
+                    pixel_values, tuple(image_sizes[0]))
+            else:
+                image_features = self.encode_images(pixel_values)
             inputs_embeds = self.splice_image_features(input_ids, image_features)
         else:
             inputs_embeds = None
@@ -165,6 +225,7 @@ class LlavaForConditionalGeneration(PretrainedModel):
             # legacy llava prefixes ("model.layers", "model.mm_projector")
             nk = re.sub(r"^model\.mm_projector\.0\.", "multi_modal_projector.linear_0.", nk)
             nk = re.sub(r"^model\.mm_projector\.2\.", "multi_modal_projector.linear_1.", nk)
+            nk = re.sub(r"^(model\.)?image_newline$", "image_newline", nk)
             nk = re.sub(r"^model\.", "language_model.", nk)
             nk = re.sub(r"^lm_head\.", "language_model.lm_head.", nk)
             nk = re.sub(r"^multi_modal_projector\.linear_1\.",
@@ -200,12 +261,32 @@ class LlavaForConditionalGeneration(PretrainedModel):
                                  method=self.module.encode_images)
 
     def generate(self, input_ids, pixel_values=None, attention_mask=None,
-                 max_new_tokens: int = 32, **kwargs):
+                 max_new_tokens: int = 32, image_sizes=None, **kwargs):
         """Greedy/sampled generation with the image spliced into the prefill.
 
         The vision encode + splice runs as ONE jitted program (cached on the
         model) — op-by-op dispatch of a 24-layer ViT would dominate TTFT."""
         inputs_embeds = None
+        if (pixel_values is not None
+                and self.config.image_aspect_ratio == "anyres"
+                and image_sizes is not None):
+            # anyres: image_size is static (one compiled program per
+            # (pinpoint, original-size) pair — the prefill length already
+            # varies with the token count anyway)
+            if getattr(self, "_embed_anyres_jit", None) is None:
+                def _embed_anyres(params, ids, px, size):
+                    feats = self.module.apply(
+                        {"params": params}, px, size,
+                        method=self.module.encode_images_anyres)
+                    return self.module.apply(
+                        {"params": params}, ids, feats,
+                        method=self.module.splice_image_features)
+                self._embed_anyres_jit = jax.jit(_embed_anyres,
+                                                 static_argnums=3)
+            inputs_embeds = self._embed_anyres_jit(
+                self.params, jnp.asarray(input_ids),
+                jnp.asarray(pixel_values), tuple(image_sizes[0]))
+            pixel_values = None
         if pixel_values is not None:
             if getattr(self, "_embed_jit", None) is None:
                 def _embed(params, ids, px):
