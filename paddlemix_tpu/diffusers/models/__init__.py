@@ -33,6 +33,14 @@ from .autoencoder_kl_temporal import (
     AutoencoderKLTemporalDecoder,
     AutoencoderKLTemporalDecoderConfig,
 )
+from .autoencoder_variants import (
+    AsymmetricAutoencoderKL,
+    AsymmetricAutoencoderKLConfig,
+    AutoencoderTiny,
+    AutoencoderTinyConfig,
+    ConsistencyDecoderVAE,
+    ConsistencyDecoderVAEConfig,
+)
 from .adapter import T2IAdapter, T2IAdapterConfig
 from .lvdm import (
     LVDMAutoencoderConfig,

@@ -83,6 +83,12 @@ _COMPONENT_CLASSES: Dict[str, str] = {
     "UnCLIPScheduler": "paddlemix_tpu.diffusers.schedulers:UnCLIPScheduler",
     "CMStochasticIterativeScheduler":
         "paddlemix_tpu.diffusers.schedulers:CMStochasticIterativeScheduler",
+    # round-5 VAE variants (reference autoencoder family)
+    "AutoencoderTiny": "paddlemix_tpu.diffusers.models:AutoencoderTiny",
+    "AsymmetricAutoencoderKL":
+        "paddlemix_tpu.diffusers.models:AsymmetricAutoencoderKL",
+    "ConsistencyDecoderVAE":
+        "paddlemix_tpu.diffusers.models:ConsistencyDecoderVAE",
 }
 
 
