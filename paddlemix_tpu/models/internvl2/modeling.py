@@ -19,10 +19,9 @@ from flax import linen as nn
 
 from ...core.config import BaseConfig
 from ...core.modeling import PretrainedModel
-from ..clip.configuration import CLIPVisionConfig
-from ..clip.modeling import CLIPVisionTransformer
 from ..llama.configuration import LlamaConfig
 from ..llama.modeling import KVCache, LlamaModule
+from .intern_vit import InternVisionConfig, InternVisionModel
 
 
 @dataclasses.dataclass
@@ -40,8 +39,8 @@ class InternVLChatConfig(BaseConfig):
         self.llm_config = self.llm_config or {}
 
     @property
-    def vision(self) -> CLIPVisionConfig:
-        return CLIPVisionConfig.from_dict(self.vision_config)
+    def vision(self) -> InternVisionConfig:
+        return InternVisionConfig.from_dict(self.vision_config)
 
     @property
     def text(self) -> LlamaConfig:
@@ -76,7 +75,7 @@ class InternVLChatModule(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.vision_model = CLIPVisionTransformer(cfg.vision, dtype=self.dtype)
+        self.vision_model = InternVisionModel(cfg.vision, dtype=self.dtype)
         v = cfg.vision
         r = int(1 / cfg.downsample_ratio)
         in_dim = v.hidden_size * r * r
@@ -93,7 +92,7 @@ class InternVLChatModule(nn.Module):
             _, _, hiddens = self.vision_model(pixel_values, output_hidden_states=True)
             feats = hiddens[cfg.select_layer]
         else:
-            feats, _ = self.vision_model(pixel_values)
+            feats, _, _ = self.vision_model(pixel_values)
         feats = feats[:, 1:]  # drop CLS
         t = feats.shape[0]
         g = int(feats.shape[1] ** 0.5)
@@ -127,7 +126,18 @@ class InternVLChatModule(nn.Module):
 
 
 _INTERNVL_KEY_MAP = (
-    # vision + mlp projector keep HF names handled below; LLM renames:
+    # InternViT (HF vision_model.embeddings/encoder tree -> flat flax tower)
+    (r"^vision_model\.embeddings\.", r"vision_model."),
+    (r"^vision_model\.encoder\.layers\.(\d+)\.", r"vision_model.layers_\1."),
+    (r"\.mlp\.fc1\.", r".fc1."),
+    (r"\.mlp\.fc2\.", r".fc2."),
+    (r"(q_norm|k_norm|norm1|norm2)\.weight$", r"\1.scale"),
+    # mlp1 projector Sequential (LN, Linear, GELU, Linear)
+    (r"^mlp1\.0\.weight$", r"mlp1_ln.scale"),
+    (r"^mlp1\.0\.bias$", r"mlp1_ln.bias"),
+    (r"^mlp1\.1\.", r"mlp1_fc1."),
+    (r"^mlp1\.3\.", r"mlp1_fc2."),
+    # LLM renames:
     (r"^language_model\.model\.", r"language_model."),
     (r"language_model\.embed_tokens\.weight$", r"language_model.embed_tokens.embedding"),
     (r"language_model\.tok_embeddings\.weight$", r"language_model.embed_tokens.embedding"),
@@ -161,12 +171,15 @@ class InternVLChatModel(PretrainedModel):
 
         from ...core.modeling import convert_torch_state_dict
 
-        t = config.text
-        g = t.num_attention_heads // t.num_key_value_heads
-        hd = t.hidden_size // t.num_attention_heads
+        t = config.text if config is not None else None
+        g = hd = None
+        if t is not None:
+            g = t.num_attention_heads // t.num_key_value_heads
+            hd = t.hidden_size // t.num_attention_heads
         out = {}
         for k, v in flat.items():
-            m = re.match(r"(.*\.attention)\.wqkv\.weight$", k)
+            m = (re.match(r"(.*\.attention)\.wqkv\.weight$", k)
+                 if t is not None else None)
             if m:
                 w = np.asarray(v).reshape(t.num_key_value_heads, g + 2, hd, -1)
                 out[m.group(1) + ".q_proj.weight"] = \

@@ -150,6 +150,131 @@ def test_qwen_vl_tower_matches_torch():
                                atol=5e-4, rtol=1e-3)
 
 
+# ------------------------------------------------------------- InternViT
+class _TorchRMSWeight(tnn.Module):
+    """Carries the InternRMSNorm `.weight` key; math lives in _rms()."""
+
+    def __init__(self, c):
+        super().__init__()
+        self.weight = tnn.Parameter(torch.rand(c) + 0.5)
+
+
+class TorchInternViT(tnn.Module):
+    """Reference modeling_intern_vit.py: conv patch embed + cls + interp pos
+    (:196-246), fused-qkv attention with qk RMSNorm over the flattened head
+    dim (:282-303), layer scales ls1/ls2 (:345-393)."""
+
+    def __init__(self, c, heads, inter, layers, img, patch, eps=1e-6):
+        super().__init__()
+        self.heads, self.eps = heads, eps
+        self.patch_embedding = tnn.Conv2d(3, c, patch, stride=patch)
+        self.class_embedding = tnn.Parameter(torch.randn(1, 1, c) * 0.02)
+        n_pos = (img // patch) ** 2 + 1
+        self.position_embedding = tnn.Parameter(torch.randn(1, n_pos, c) * 0.02)
+        blocks = []
+        for _ in range(layers):
+            blk = tnn.ModuleDict({
+                "norm1": tnn.LayerNorm(c, eps=eps),
+                "norm2": tnn.LayerNorm(c, eps=eps)})
+            blk["attn"] = tnn.ModuleDict({
+                "qkv": tnn.Linear(c, 3 * c),
+                "proj": tnn.Linear(c, c),
+                "q_norm": _TorchRMSWeight(c),
+                "k_norm": _TorchRMSWeight(c)})
+            blk["mlp"] = tnn.ModuleDict({
+                "fc1": tnn.Linear(c, inter), "fc2": tnn.Linear(inter, c)})
+            blk.ls1 = tnn.Parameter(torch.rand(c) * 0.2)
+            blk.ls2 = tnn.Parameter(torch.rand(c) * 0.2)
+            blocks.append(blk)
+        self.layers = tnn.ModuleList(blocks)
+
+    def _rms(self, x, w):
+        v = x.float()
+        v = v * torch.rsqrt(v.pow(2).mean(-1, keepdim=True) + self.eps)
+        return v * w
+
+    def _attn(self, blk, x):
+        b, n, c = x.shape
+        hd = c // self.heads
+        qkv = blk["attn"]["qkv"](x).reshape(b, n, 3, self.heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = self._rms(q.reshape(b, n, c), blk["attn"]["q_norm"].weight).reshape(b, n, self.heads, hd)
+        k = self._rms(k.reshape(b, n, c), blk["attn"]["k_norm"].weight).reshape(b, n, self.heads, hd)
+        o = F.scaled_dot_product_attention(q.permute(0, 2, 1, 3),
+                                           k.permute(0, 2, 1, 3),
+                                           v.permute(0, 2, 1, 3))
+        return blk["attn"]["proj"](o.permute(0, 2, 1, 3).reshape(b, n, c))
+
+    def forward(self, pix):
+        x = self.patch_embedding(pix)
+        b, c, gh, gw = x.shape
+        x = x.reshape(b, c, gh * gw).permute(0, 2, 1)
+        x = torch.cat([self.class_embedding.expand(b, -1, -1), x], dim=1)
+        pos = self.position_embedding
+        n = pos.shape[1] - 1
+        src = int(math.sqrt(n))
+        if (src, src) != (gh, gw):
+            body = pos[:, 1:].reshape(1, src, src, c).permute(0, 3, 1, 2)
+            body = F.interpolate(body, size=(gh, gw), mode="bicubic",
+                                 align_corners=False)
+            body = body.permute(0, 2, 3, 1).reshape(1, gh * gw, c)
+            pos = torch.cat([pos[:, :1], body], dim=1)
+        x = x + pos
+        for blk in self.layers:
+            x = x + self._attn(blk, blk["norm1"](x)) * blk.ls1
+            h = blk["norm2"](x)
+            x = x + blk["mlp"]["fc2"](F.gelu(blk["mlp"]["fc1"](h))) * blk.ls2
+        return x
+
+
+def test_intern_vit_matches_torch():
+    from paddlemix_tpu.models.internvl2 import InternVLChatModel
+    from paddlemix_tpu.models.internvl2.intern_vit import (
+        InternVisionConfig,
+        InternVisionModel,
+    )
+
+    c, heads, inter, layers = 32, 2, 64, 2
+    tm = TorchInternViT(c, heads, inter, layers, img=16, patch=8).eval()
+    flat = {}
+    for k, v in tm.state_dict().items():
+        k = k.replace("layers.", "encoder.layers.")
+        if not k.startswith("encoder."):
+            k = "embeddings." + k
+        flat["vision_model." + k] = v.detach().numpy()
+    params = unflatten_params(
+        InternVLChatModel.convert_foreign_state_dict(flat, None))
+    cfg = InternVisionConfig(hidden_size=c, intermediate_size=inter,
+                             num_hidden_layers=layers, num_attention_heads=heads,
+                             image_size=16, patch_size=8, qk_normalization=True)
+    fm = InternVisionModel(cfg)
+    # 32px input vs 16px config -> exercises the CLS-preserving pos interp
+    pix = np.random.RandomState(0).randn(2, 32, 32, 3).astype(np.float32)
+    got, _, _ = fm.apply({"params": params["vision_model"]}, jnp.asarray(pix))
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(np.transpose(pix, (0, 3, 1, 2))))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_pixel_shuffle_matches_reference_semantics():
+    """Numpy twin of the reference pixel_shuffle v2 path
+    (modeling_internvl_chat.py): NCHW formulation re-derived independently."""
+    from paddlemix_tpu.models.internvl2.modeling import pixel_shuffle
+
+    rs = np.random.RandomState(1)
+    x = rs.randn(2, 4, 4, 8).astype(np.float32)  # NHWC
+    got = np.asarray(pixel_shuffle(jnp.asarray(x), 0.5, "v2"))
+    # independent twin: reference does (N, W, H*s, C/s^2) then transpose
+    b, h, w, c = x.shape
+    t = x.reshape(b, h, w // 2, c * 2)
+    t = np.transpose(t, (0, 2, 1, 3))
+    t = t.reshape(b, w // 2, h // 2, c * 4)
+    t = np.transpose(t, (0, 2, 1, 3))
+    np.testing.assert_allclose(got, t, atol=0)
+    assert got.shape == (2, 2, 2, 32)
+
+
 def test_qwen_ntk_and_logn_options():
     """QWen long-context knobs: NTK alpha rescales rope theta (different
     cos/sin past short range) and logn scales q beyond the train length."""
