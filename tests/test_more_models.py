@@ -148,18 +148,72 @@ def test_cogvlm_vision_expert():
         image_token_id=63))
     model = CogVLMForCausalLM.from_config(cfg, seed=0)
     px = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 3))
-    ids = np.full((1, 4 + 4), 5, np.int32)
-    ids[:, 1:5] = 63
+    n_img = 4 + 2  # boi + patches + eoi
+    ids = np.full((1, n_img + 4), 5, np.int32)
+    ids[:, 1:1 + n_img] = 63
     logits = model(jnp.asarray(ids), px)
-    assert logits.shape == (1, 8, 64)
+    assert logits.shape == (1, n_img + 4, 64)
     # vision expert params exist and are distinct from language expert
+    # (reference checkpoint names, modeling.py:218-227)
     flat = {".".join(map(str, k)) for k in
             __import__("flax").traverse_util.flatten_dict(model.params)}
-    assert any("vision_expert_qkv" in k for k in flat)
-    assert any("language_expert_qkv" in k for k in flat)
+    assert any("vision_expert_query_key_value" in k for k in flat)
+    assert any("language_expert_query_key_value" in k for k in flat)
+    assert any("vision_mlp" in k and "gate_proj" in k for k in flat)
+    # EVA2CLIP tower artifacts: GLU adapter + boi/eoi boundary embeddings
+    assert any("linear_proj" in k for k in flat)
+    assert any(k.endswith("boi") for k in flat)
     # image path changes output only at/after image positions
     logits2 = model(jnp.asarray(ids), px + 1.0)
     assert float(jnp.abs(logits - logits2).max()) > 1e-4
+
+
+def test_cogvlm_expert_mask_and_positions():
+    from paddlemix_tpu.models.cogvlm.modeling import (
+        build_position_ids,
+        get_expert_mask,
+    )
+
+    # spans: L L V V V V L (the Vs = boi, 2 patches, eoi in prompt terms)
+    is_v = jnp.asarray([[0, 0, 1, 1, 1, 1, 0]], bool)
+    vm, lm = get_expert_mask(is_v)
+    # last vision token of the span routes as LANGUAGE (reference :115-122)
+    assert vm.tolist() == [[False, False, True, True, True, False, False]]
+    assert lm.tolist() == [[True, True, False, False, False, True, True]]
+    # positions: INTERIOR vision tokens share one position; boi/eoi count as
+    # language steps (reference :459-476)
+    pos = build_position_ids(is_v)
+    assert pos.tolist() == [[0, 1, 2, 3, 3, 4, 5]]
+
+
+def test_cogagent_cross_branch():
+    from paddlemix_tpu.models.cogvlm import CogVLMConfig, CogVLMForCausalLM
+
+    cfg = CogVLMConfig.from_dict(dict(
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=1, num_attention_heads=2,
+                           image_size=16, patch_size=8),
+        text_config=dict(vocab_size=64, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=2,
+                         num_key_value_heads=2, max_position_embeddings=64),
+        image_token_id=63, variant="cogagent",
+        cross_hidden_size=24, cross_compute_hidden_size=24,
+        cross_image_size=32,
+        cross_vision_config=dict(width=24, layers=1, head_width=12,
+                                 mlp_ratio=2.0, image_size=32,
+                                 patch_size=16)))
+    model = CogVLMForCausalLM.from_config(cfg, seed=0)
+    px = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    cross_px = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    n_img = 4 + 2
+    ids = np.full((1, n_img + 4), 5, np.int32)
+    ids[:, 1:1 + n_img] = 63
+    logits = model(jnp.asarray(ids), px, cross_images=cross_px)
+    assert logits.shape == (1, n_img + 4, 64)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+    # the high-res branch feeds every layer: different cross image -> change
+    logits2 = model(jnp.asarray(ids), px, cross_images=cross_px + 1.0)
+    assert float(jnp.abs(logits - logits2).max()) > 1e-5
 
 
 def test_text_to_video():
@@ -204,12 +258,15 @@ def test_internlm_xcomposer2_plora():
     ids[:, 1:5] = 63
     logits = model(jnp.asarray(ids), px)
     assert logits.shape == (1, 8, 64)
-    # PLoRA branches exist, zero-init b => output equals pure-base at init for
-    # text tokens even if lora_a were nonzero
+    # PLoRA branches exist under the reference checkpoint names (fused wqkv +
+    # wo + w1/w2/w3, Plora_A/Plora_B; reference modeling.py:173-217,372-415)
     from flax import traverse_util
 
     flat = {".".join(map(str, k)) for k in traverse_util.flatten_dict(model.params)}
-    assert any("lora_a" in k for k in flat) and any("lora_b" in k for k in flat)
+    assert any("wqkv.Plora_A" in k for k in flat)
+    assert any("wo.Plora_B" in k for k in flat)
+    assert any(".w1.Plora_A" in k for k in flat)
+    assert any("attention_norm" in k for k in flat)
 
 
 def test_visualglm():

@@ -275,6 +275,206 @@ def test_pixel_shuffle_matches_reference_semantics():
     assert got.shape == (2, 2, 2, 32)
 
 
+# ------------------------------------------------- CogVLM vision expert
+class TorchVisionExpertAttention(tnn.Module):
+    """Reference cogvlm/modeling.py:208-295: per-token expert routing of the
+    fused qkv and the output projection; one shared softmax; rope over
+    CogVLM position ids."""
+
+    def __init__(self, d, heads):
+        super().__init__()
+        self.heads = heads
+        self.vision_expert_query_key_value = tnn.Linear(d, 3 * d, bias=False)
+        self.language_expert_query_key_value = tnn.Linear(d, 3 * d, bias=False)
+        self.vision_expert_dense = tnn.Linear(d, d, bias=False)
+        self.language_expert_dense = tnn.Linear(d, d, bias=False)
+
+    @staticmethod
+    def _rope(x, positions, theta=10000.0):
+        # matches ops.rope_cos_sin/apply_rope (half-split rotate)
+        b, h, n, hd = x.shape
+        inv = 1.0 / theta ** (torch.arange(0, hd, 2).float() / hd)
+        ang = positions.float()[:, :, None] * inv[None, None]
+        cos = torch.cos(ang)[:, None]
+        sin = torch.sin(ang)[:, None]
+        x1, x2 = x[..., : hd // 2], x[..., hd // 2:]
+        return torch.cat([x1 * cos - x2 * sin, x2 * cos + x1 * sin], dim=-1)
+
+    def forward(self, x, positions, vision_mask):
+        b, n, d = x.shape
+        hd = d // self.heads
+        qkv_v = self.vision_expert_query_key_value(x)
+        qkv_l = self.language_expert_query_key_value(x)
+        qkv = torch.where(vision_mask[:, :, None], qkv_v, qkv_l)
+        q, k, v = qkv.chunk(3, dim=-1)
+
+        def heads_first(t):
+            return t.reshape(b, n, self.heads, hd).permute(0, 2, 1, 3)
+
+        q, k, v = heads_first(q), heads_first(k), heads_first(v)
+        q = self._rope(q, positions)
+        k = self._rope(k, positions)
+        causal = torch.tril(torch.ones(n, n, dtype=torch.bool))
+        o = F.scaled_dot_product_attention(q, k, v, attn_mask=causal)
+        o = o.permute(0, 2, 1, 3).reshape(b, n, d)
+        return torch.where(vision_mask[:, :, None],
+                           self.vision_expert_dense(o),
+                           self.language_expert_dense(o))
+
+
+def test_cogvlm_vision_expert_attention_matches_torch():
+    from paddlemix_tpu.models.cogvlm.modeling import (
+        VisionExpertAttention,
+        build_position_ids,
+        get_expert_mask,
+    )
+    from paddlemix_tpu.models.llama import LlamaConfig
+
+    d, heads, n = 32, 2, 10
+    tm = TorchVisionExpertAttention(d, heads).eval()
+    flat = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    from paddlemix_tpu.core.modeling import convert_torch_state_dict
+
+    params = unflatten_params(convert_torch_state_dict(
+        flat, ((r"\.weight$", r".kernel"),)))
+    cfg = LlamaConfig.from_dict(dict(hidden_size=d, num_attention_heads=heads,
+                                     num_key_value_heads=heads))
+    fm = VisionExpertAttention(cfg)
+    is_v = np.zeros((1, n), bool)
+    is_v[0, 2:8] = True
+    is_vj = jnp.asarray(is_v)
+    vm, _ = get_expert_mask(is_vj)
+    pos = build_position_ids(is_vj)
+    x = np.random.RandomState(0).randn(1, n, d).astype(np.float32)
+    got = fm.apply({"params": params}, jnp.asarray(x), pos, vm)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x), torch.from_numpy(np.asarray(pos)),
+                 torch.from_numpy(np.asarray(vm)))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_cogvlm_glu_and_postnorm_layer_match_torch():
+    """EVA2CLIP specifics a skeleton gets wrong: the GLU adapter
+    (visual.py:983-1005) and the POST-op layernorm residual placement
+    (visual.py:960-967)."""
+    from paddlemix_tpu.models.cogvlm.visual import GLU, CogVisionLayer, CogVisionConfig
+
+    d, inter = 16, 32
+    rs = np.random.RandomState(1)
+
+    class TorchGLU(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.linear_proj = tnn.Linear(8, d, bias=False)
+            self.norm1 = tnn.LayerNorm(d)
+            self.dense_h_to_4h = tnn.Linear(d, inter, bias=False)
+            self.gate_proj = tnn.Linear(d, inter, bias=False)
+            self.dense_4h_to_h = tnn.Linear(inter, d, bias=False)
+
+        def forward(self, x):
+            x = self.linear_proj(x)
+            x = F.gelu(self.norm1(x))
+            x = F.silu(self.gate_proj(x)) * self.dense_h_to_4h(x)
+            return self.dense_4h_to_h(x)
+
+    tm = TorchGLU().eval()
+    from paddlemix_tpu.core.modeling import convert_torch_state_dict
+
+    params = unflatten_params(convert_torch_state_dict(
+        {k: v.detach().numpy() for k, v in tm.state_dict().items()},
+        ((r"norm1\.weight$", r"norm1.scale"), (r"\.weight$", r".kernel"))))
+    x = rs.randn(2, 5, 8).astype(np.float32)
+    got = GLU(d, inter).apply({"params": params}, jnp.asarray(x))
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=2e-5,
+                               rtol=1e-4)
+
+    # post-norm layer: x + LN(attn(x)); x + LN(mlp(x))
+    class TorchCogLayer(tnn.Module):
+        def __init__(self, c, heads):
+            super().__init__()
+            self.heads = heads
+            self.query_key_value = tnn.Linear(c, 3 * c)
+            self.dense = tnn.Linear(c, c)
+            self.fc1 = tnn.Linear(c, 2 * c)
+            self.fc2 = tnn.Linear(2 * c, c)
+            self.input_layernorm = tnn.LayerNorm(c, eps=1e-6)
+            self.post_attention_layernorm = tnn.LayerNorm(c, eps=1e-6)
+
+        def forward(self, x):
+            b, n, c = x.shape
+            hd = c // self.heads
+            qkv = self.query_key_value(x).reshape(b, n, 3, self.heads, hd)
+            q, k, v = (qkv[:, :, i].permute(0, 2, 1, 3) for i in range(3))
+            att = F.scaled_dot_product_attention(q, k, v)
+            att = self.dense(att.permute(0, 2, 1, 3).reshape(b, n, c))
+            x = x + self.input_layernorm(att)
+            m = self.fc2(F.gelu(self.fc1(x)))
+            return x + self.post_attention_layernorm(m)
+
+    c, heads = 16, 2
+    tl = TorchCogLayer(c, heads).eval()
+    params = unflatten_params(convert_torch_state_dict(
+        {k: v.detach().numpy() for k, v in tl.state_dict().items()},
+        ((r"(input_layernorm|post_attention_layernorm)\.weight$", r"\1.scale"),
+         (r"\.weight$", r".kernel"))))
+    cfg = CogVisionConfig(hidden_size=c, num_heads=heads,
+                          intermediate_size=2 * c, num_hidden_layers=1,
+                          image_size=16, patch_size=8)
+    x = rs.randn(1, 6, c).astype(np.float32)
+    got = CogVisionLayer(cfg).apply({"params": params}, jnp.asarray(x))
+    with torch.no_grad():
+        ref = tl(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=5e-5,
+                               rtol=1e-4)
+
+
+# -------------------------------------------------- XComposer2 PLoRA
+def test_plora_linear_matches_torch():
+    """Reference internlm_xcomposer2/modeling.py:173-217: PLoRA(nn.Linear)
+    adds Plora_B(Plora_A(x)) * (alpha/r) ONLY at image-mask positions."""
+    from paddlemix_tpu.core.modeling import convert_torch_state_dict
+    from paddlemix_tpu.models.internlm_xcomposer2.modeling import PLoRALinear
+
+    in_f, out_f, r, alpha = 12, 20, 4, 8
+
+    class TorchPLoRA(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lin = tnn.Linear(in_f, out_f, bias=False)
+            self.Plora_A = tnn.Linear(in_f, r, bias=False)
+            self.Plora_B = tnn.Linear(r, out_f, bias=False)
+
+        def forward(self, x, im_mask):
+            res = self.lin(x)
+            delta = self.Plora_B(self.Plora_A(x)) * (alpha / r)
+            return res + torch.where(im_mask[..., None], delta,
+                                     torch.zeros(()))
+
+    tm = TorchPLoRA().eval()
+    with torch.no_grad():
+        tm.Plora_B.weight.copy_(torch.randn(out_f, r))  # break zero-init
+    flat = {k.replace("lin.", ""): v.detach().numpy()
+            for k, v in tm.state_dict().items()}
+    params = unflatten_params(convert_torch_state_dict(
+        flat, ((r"\.weight$", r".kernel"), (r"^weight$", r"kernel"))))
+    fm = PLoRALinear(out_f, r, alpha / r)
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, 6, in_f).astype(np.float32)
+    mask = np.zeros((2, 6), bool)
+    mask[:, 2:4] = True
+    got = fm.apply({"params": params}, jnp.asarray(x), jnp.asarray(mask))
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x), torch.from_numpy(mask))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=2e-5,
+                               rtol=1e-4)
+    # text rows equal the pure-base projection
+    base = x @ np.asarray(params["kernel"])
+    np.testing.assert_allclose(np.asarray(got)[:, 0], base[:, 0], atol=2e-5)
+
+
 def test_qwen_ntk_and_logn_options():
     """QWen long-context knobs: NTK alpha rescales rope theta (different
     cos/sin past short range) and logn scales q beyond the train length."""
