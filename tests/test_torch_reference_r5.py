@@ -456,10 +456,10 @@ def test_plora_linear_matches_torch():
     tm = TorchPLoRA().eval()
     with torch.no_grad():
         tm.Plora_B.weight.copy_(torch.randn(out_f, r))  # break zero-init
-    flat = {k.replace("lin.", ""): v.detach().numpy()
-            for k, v in tm.state_dict().items()}
-    params = unflatten_params(convert_torch_state_dict(
-        flat, ((r"\.weight$", r".kernel"), (r"^weight$", r"kernel"))))
+    flat = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    conv = convert_torch_state_dict(
+        flat, ((r"^lin\.weight$", r"kernel"), (r"\.weight$", r".kernel")))
+    params = unflatten_params(conv)
     fm = PLoRALinear(out_f, r, alpha / r)
     rs = np.random.RandomState(0)
     x = rs.randn(2, 6, in_f).astype(np.float32)
