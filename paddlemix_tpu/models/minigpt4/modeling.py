@@ -100,6 +100,37 @@ class MiniGPT4ForConditionalGeneration(PretrainedModel):
     module_class = MiniGPT4Module
 
     @classmethod
+    def convert_foreign_state_dict(cls, flat, config):
+        """Vision tower + Q-Former share BLIP-2's HF layout (MiniGPT4 IS
+        BLIP-2 up to the projector, reference minigpt4/modeling.py:1229+);
+        the projector is llama_proj / language_projection. The Llama half
+        follows the usual llama renames."""
+        import re as _re
+
+        from ..blip2.modeling import Blip2ForConditionalGeneration
+
+        bridge, llm = {}, {}
+        for k, v in flat.items():
+            k = _re.sub(r"^(language_projection|llm_proj)\.", "llama_proj.", k)
+            if k.startswith("language_model."):
+                llm[k] = v
+            else:
+                bridge[k] = v
+        out = Blip2ForConditionalGeneration.convert_foreign_state_dict(bridge, None)
+        if llm:
+            from ...core.modeling import convert_torch_state_dict
+
+            out.update(convert_torch_state_dict(llm, (
+                (r"^language_model\.model\.", r"language_model."),
+                (r"language_model\.embed_tokens\.weight$",
+                 r"language_model.embed_tokens.embedding"),
+                (r"\.layers\.(\d+)\.", r".layers_\1."),
+                (r"(layernorm|norm)\.weight$", r"\1.scale"),
+                (r"\.weight$", r".kernel"),
+            )))
+        return out
+
+    @classmethod
     def example_inputs(cls, config):
         v = config.vision
         n = config.num_query_tokens

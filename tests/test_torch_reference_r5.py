@@ -475,6 +475,66 @@ def test_plora_linear_matches_torch():
     np.testing.assert_allclose(np.asarray(got)[:, 0], base[:, 0], atol=2e-5)
 
 
+# ---------------------------------------------- MiniGPT4 Q-Former bridge
+def test_minigpt4_bridge_matches_hf():
+    """MiniGPT4's vision->Q-Former->projector bridge against the HF Blip2
+    implementation (the reference MiniGPT4 is BLIP-2 up to the projector,
+    minigpt4/modeling.py:1229+): HF weights load through MiniGPT4's own
+    converter and encode_image must reproduce HF's bridge output."""
+    import pytest
+
+    transformers = pytest.importorskip("transformers")
+
+    from paddlemix_tpu.models.minigpt4 import (
+        MiniGPT4Config,
+        MiniGPT4ForConditionalGeneration,
+    )
+
+    hf_cfg = transformers.Blip2Config(
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           image_size=16, patch_size=8),
+        qformer_config=dict(hidden_size=32, num_hidden_layers=2,
+                            num_attention_heads=2, intermediate_size=64,
+                            cross_attention_frequency=2,
+                            encoder_hidden_size=32, vocab_size=30),
+        text_config=dict(model_type="opt", vocab_size=96, hidden_size=24,
+                         ffn_dim=48, num_hidden_layers=1,
+                         num_attention_heads=2, max_position_embeddings=64,
+                         word_embed_proj_dim=24),
+        num_query_tokens=4)
+    hf = transformers.Blip2ForConditionalGeneration(hf_cfg).eval()
+    flat = {k: v.detach().numpy() for k, v in hf.state_dict().items()
+            if not k.startswith("language_model.")}
+
+    cfg = MiniGPT4Config(
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           image_size=16, patch_size=8),
+        qformer_config=dict(hidden_size=32, num_hidden_layers=2,
+                            num_attention_heads=2, intermediate_size=64,
+                            cross_attention_frequency=2,
+                            encoder_hidden_size=32),
+        text_config=dict(vocab_size=64, hidden_size=24, intermediate_size=48,
+                         num_hidden_layers=1, num_attention_heads=2,
+                         num_key_value_heads=2, max_position_embeddings=64),
+        num_query_tokens=4)
+    model = MiniGPT4ForConditionalGeneration.from_state_dict(cfg, flat)
+
+    px = np.random.RandomState(0).randn(1, 3, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        image_embeds = hf.vision_model(torch.tensor(px)).last_hidden_state
+        queries = hf.query_tokens.expand(1, -1, -1)
+        q_out = hf.qformer(query_embeds=queries,
+                           encoder_hidden_states=image_embeds).last_hidden_state
+        hf_feats = hf.language_projection(q_out).numpy()
+    feats = model.module.apply(
+        {"params": model.params},
+        jnp.asarray(np.transpose(px, (0, 2, 3, 1))),
+        method=model.module.encode_image)
+    np.testing.assert_allclose(np.asarray(feats), hf_feats, atol=5e-3)
+
+
 def test_qwen_ntk_and_logn_options():
     """QWen long-context knobs: NTK alpha rescales rope theta (different
     cos/sin past short range) and logn scales q beyond the train length."""
