@@ -37,9 +37,10 @@ def test_imagebind_all_modalities():
                                                   (8 if m == "text" else 32)),
                 patch_size=8, vocab_size=64)
         for m in ("vision", "text", "audio", "depth", "thermal", "imu")})
-    # fix per-modality channel defaults clobbered above
+    # fix per-modality stem params clobbered above
     cfg.modality_configs["vision"]["in_channels"] = 3
-    cfg.modality_configs["audio"]["in_channels"] = 1
+    cfg.modality_configs["audio"].update(in_channels=1, num_mel_bins=16,
+                                         stride=8)
     cfg.modality_configs["depth"]["in_channels"] = 1
     cfg.modality_configs["thermal"]["in_channels"] = 1
     cfg.modality_configs["imu"]["in_channels"] = 6
@@ -58,6 +59,18 @@ def test_imagebind_all_modalities():
     for m, e in embeds.items():
         assert e.shape == (2, 32), m
         assert bool(jnp.all(jnp.isfinite(e))), m
+    # postprocessors: fixed logit scales (reference :499-522) mean the
+    # embedding norms are exactly the per-modality scale
+    assert abs(float(jnp.linalg.norm(embeds["vision"][0])) - 1.0) < 1e-3
+    assert abs(float(jnp.linalg.norm(embeds["audio"][0])) - 20.0) < 1e-2
+    assert abs(float(jnp.linalg.norm(embeds["depth"][0])) - 5.0) < 1e-3
+    assert abs(float(jnp.linalg.norm(embeds["thermal"][0])) - 10.0) < 1e-2
+    # vision stem is the PadIm2Video + Conv3D path: a 5D video input of the
+    # same frames must produce the identical embedding as the 4D image
+    vid = jnp.repeat(inputs["vision"][:, None], 2, axis=1)
+    e_vid = model.encode("vision", vid)
+    np.testing.assert_allclose(np.asarray(e_vid),
+                               np.asarray(embeds["vision"]), atol=1e-5)
     # cross-modal similarity is computable
     sim = embeds["vision"] @ embeds["text"].T
     assert sim.shape == (2, 2)

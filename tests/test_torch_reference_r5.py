@@ -535,6 +535,94 @@ def test_minigpt4_bridge_matches_hf():
     np.testing.assert_allclose(np.asarray(feats), hf_feats, atol=5e-3)
 
 
+# ------------------------------------------------- ImageBind audio tower
+class TorchImageBindAudio(tnn.Module):
+    """Reference audio path: OVERLAPPING conv 16/10 over the 128x204 mel
+    image + stem LayerNorm (modeling.py:212-234), cls+pos, pre-LN trunk,
+    LN(1e-6) -> cls -> biasless head -> normalize -> x20
+    (modeling.py:452-461, :506-509)."""
+
+    def __init__(self, d, heads, inter, embed, kernel, stride):
+        super().__init__()
+        self.heads = heads
+        self.stem = tnn.Conv2d(1, d, kernel, stride=stride, bias=False)
+        self.stem_norm = tnn.LayerNorm(d, eps=1e-5)
+        self.cls_token = tnn.Parameter(torch.randn(d) * 0.01)
+        self.q_proj = tnn.Linear(d, d)
+        self.k_proj = tnn.Linear(d, d)
+        self.v_proj = tnn.Linear(d, d)
+        self.out_proj = tnn.Linear(d, d)
+        self.norm1 = tnn.LayerNorm(d, eps=1e-5)
+        self.norm2 = tnn.LayerNorm(d, eps=1e-5)
+        self.fc1 = tnn.Linear(d, inter)
+        self.fc2 = tnn.Linear(inter, d)
+        self.norm = tnn.LayerNorm(d, eps=1e-6)
+        self.head = tnn.Linear(d, embed, bias=False)
+        self.pos_embed = None  # set after shapes known
+
+    def forward(self, mel_nchw):
+        x = self.stem(mel_nchw)
+        b, d, gh, gw = x.shape
+        x = x.reshape(b, d, gh * gw).permute(0, 2, 1)
+        x = self.stem_norm(x)
+        x = torch.cat([self.cls_token.expand(b, 1, -1), x], dim=1)
+        x = x + self.pos_embed
+        h = self.norm1(x)
+        hd = d // self.heads
+
+        def heads_first(t):
+            return t.reshape(b, -1, self.heads, hd).permute(0, 2, 1, 3)
+
+        o = F.scaled_dot_product_attention(
+            heads_first(self.q_proj(h)), heads_first(self.k_proj(h)),
+            heads_first(self.v_proj(h)))
+        x = x + self.out_proj(o.permute(0, 2, 1, 3).reshape(b, -1, d))
+        x = x + self.fc2(F.gelu(self.fc1(self.norm2(x))))
+        pooled = self.norm(x)[:, 0]
+        e = self.head(pooled)
+        e = e / e.norm(dim=-1, keepdim=True)
+        return e * 20.0
+
+
+def test_imagebind_audio_tower_matches_torch():
+    from paddlemix_tpu.core.modeling import convert_torch_state_dict
+    from paddlemix_tpu.models.imagebind.modeling import (
+        ModalityConfig,
+        ModalityEncoder,
+    )
+
+    d, heads, inter, embed = 32, 2, 64, 16
+    mel, tlen, kernel, stride = 32, 48, 16, 10
+    tm = TorchImageBindAudio(d, heads, inter, embed, kernel, stride).eval()
+    gh, gw = (mel - kernel) // stride + 1, (tlen - kernel) // stride + 1
+    tm.pos_embed = tnn.Parameter(torch.randn(1, gh * gw + 1, d) * 0.01)
+
+    key_map = (
+        (r"^(q_proj|k_proj|v_proj|out_proj)\.", r"blocks_0.attn.\1."),
+        (r"^(norm1|norm2)\.weight$", r"blocks_0.\1.scale"),
+        (r"^(norm1|norm2)\.bias$", r"blocks_0.\1.bias"),
+        (r"^(fc1|fc2)\.", r"blocks_0.mlp.\1."),
+        (r"^stem_norm\.weight$", r"stem_norm.scale"),
+        (r"^norm\.weight$", r"norm.scale"),
+        (r"\.weight$", r".kernel"),
+    )
+    flat = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    flat["pos_embed"] = flat["pos_embed"][0]
+    params = unflatten_params(convert_torch_state_dict(flat, key_map))
+    cfg = ModalityConfig(hidden_size=d, num_hidden_layers=1,
+                         num_attention_heads=heads, intermediate_size=inter,
+                         input_size=tlen, num_mel_bins=mel, patch_size=kernel,
+                         stride=stride, in_channels=1, stem_norm=True,
+                         logit_scale_init=20.0)
+    fm = ModalityEncoder("audio", cfg, embed)
+    x = np.random.RandomState(0).randn(2, mel, tlen, 1).astype(np.float32)
+    got = fm.apply({"params": params}, jnp.asarray(x))
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=5e-4,
+                               rtol=1e-3)
+
+
 def test_qwen_ntk_and_logn_options():
     """QWen long-context knobs: NTK alpha rescales rope theta (different
     cos/sin past short range) and logn scales q beyond the train length."""
