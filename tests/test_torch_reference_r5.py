@@ -653,3 +653,127 @@ def test_qwen_ntk_and_logn_options():
 
     assert cfg_logn.ntk_alpha_for(4) == 1.0
     assert cfg_logn.ntk_alpha_for(16) > 1.0
+
+
+# ------------------------------------------------------------- EVA-02
+class TorchEVA02(tnn.Module):
+    """Independent torch twin of the reference EVA-02 finetune ViT
+    (paddlemix/models/eva02/modeling_finetune.py): conv patch embed, cls +
+    learned abs pos, blocks with separate q/k/v (k bias-less,
+    modeling_finetune.py:184-186), EVA 2D axial rope on patch tokens only
+    (clip/modules/rope.py VisionRotaryEmbeddingFast: interleaved pairs, half
+    the head dim per axis), naiveswiglu + ffn_ln, mean-pooled fc_norm head."""
+
+    def __init__(self, img, patch, d, heads, inter, layers, n_cls,
+                 pt_seq_len):
+        super().__init__()
+        self.heads = heads
+        self.patch_embed = tnn.Conv2d(3, d, patch, stride=patch)
+        grid = img // patch
+        self.grid = grid
+        self.cls_token = tnn.Parameter(torch.randn(1, 1, d) * 0.02)
+        self.pos_embed = tnn.Parameter(torch.randn(1, grid * grid + 1, d) * 0.02)
+        hd = d // heads
+        # 2D axial rope tables, derived independently from the reference spec
+        dim = hd // 2
+        freqs = 1.0 / 10000.0 ** (torch.arange(0, dim, 2)[: dim // 2].float() / dim)
+        t = torch.arange(grid).float()  # non-intp case: grid == pt_seq_len
+        f = torch.einsum("i,j->ij", t, freqs).repeat_interleave(2, -1)
+        full = torch.cat([f[:, None, :].expand(grid, grid, dim),
+                          f[None, :, :].expand(grid, grid, dim)], -1)
+        full = full.reshape(grid * grid, hd)
+        self.register_buffer("rope_cos", full.cos())
+        self.register_buffer("rope_sin", full.sin())
+        self.blocks = tnn.ModuleList()
+        for _ in range(layers):
+            blk = tnn.ModuleDict({
+                "norm1": tnn.LayerNorm(d, eps=1e-6),
+                "q_proj": tnn.Linear(d, d, bias=True),
+                "k_proj": tnn.Linear(d, d, bias=False),
+                "v_proj": tnn.Linear(d, d, bias=True),
+                "proj": tnn.Linear(d, d),
+                "norm2": tnn.LayerNorm(d, eps=1e-6),
+                "w1": tnn.Linear(d, inter),
+                "w2": tnn.Linear(d, inter),
+                "ffn_ln": tnn.LayerNorm(inter, eps=1e-6),
+                "w3": tnn.Linear(inter, d),
+            })
+            self.blocks.append(blk)
+        self.fc_norm = tnn.LayerNorm(d, eps=1e-6)
+        self.head = tnn.Linear(d, n_cls)
+
+    @staticmethod
+    def _rot(x):
+        x = x.reshape(*x.shape[:-1], -1, 2)
+        x1, x2 = x[..., 0], x[..., 1]
+        return torch.stack((-x2, x1), -1).reshape(*x.shape[:-2], -1)
+
+    def forward(self, pix):
+        b = pix.shape[0]
+        x = self.patch_embed(pix).flatten(2).transpose(1, 2)
+        x = torch.cat([self.cls_token.expand(b, -1, -1), x], 1)
+        x = x + self.pos_embed
+        n = x.shape[1]
+        hd = x.shape[-1] // self.heads
+        for blk in self.blocks:
+            h = blk["norm1"](x)
+            q = blk["q_proj"](h).reshape(b, n, self.heads, hd).permute(0, 2, 1, 3)
+            k = blk["k_proj"](h).reshape(b, n, self.heads, hd).permute(0, 2, 1, 3)
+            v = blk["v_proj"](h).reshape(b, n, self.heads, hd).permute(0, 2, 1, 3)
+            # rope on patch tokens only (reference concats unrotated CLS)
+            cos, sin = self.rope_cos[None, None], self.rope_sin[None, None]
+            q = torch.cat([q[:, :, :1], q[:, :, 1:] * cos + self._rot(q[:, :, 1:]) * sin], 2)
+            k = torch.cat([k[:, :, :1], k[:, :, 1:] * cos + self._rot(k[:, :, 1:]) * sin], 2)
+            o = F.scaled_dot_product_attention(q, k, v)
+            o = o.permute(0, 2, 1, 3).reshape(b, n, -1)
+            x = x + blk["proj"](o)
+            h = blk["norm2"](x)
+            h = blk["ffn_ln"](F.silu(blk["w1"](h)) * blk["w2"](h))
+            x = x + blk["w3"](h)
+        return self.head(self.fc_norm(x[:, 1:].mean(1)))
+
+
+def test_eva02_matches_torch():
+    from paddlemix_tpu.models.eva02 import EVA02Config, EVA02Model
+
+    d, heads, inter, layers, img, patch, n_cls = 32, 2, 64, 2, 32, 8, 10
+    tm = TorchEVA02(img, patch, d, heads, inter, layers, n_cls,
+                    pt_seq_len=img // patch).eval()
+
+    def lin(m):
+        p = {"kernel": m.weight.detach().numpy().T}
+        if m.bias is not None:
+            p["bias"] = m.bias.detach().numpy()
+        return p
+
+    def ln(m):
+        return {"scale": m.weight.detach().numpy(),
+                "bias": m.bias.detach().numpy()}
+
+    params = {
+        "patch_embed": {
+            "kernel": tm.patch_embed.weight.detach().numpy().transpose(2, 3, 1, 0),
+            "bias": tm.patch_embed.bias.detach().numpy()},
+        "cls_token": tm.cls_token.detach().numpy()[0, 0],
+        "pos_embed": tm.pos_embed.detach().numpy(),
+        "fc_norm": ln(tm.fc_norm),
+        "head": lin(tm.head),
+    }
+    for i, blk in enumerate(tm.blocks):
+        params[f"blocks_{i}"] = {
+            "norm1": ln(blk["norm1"]), "q_proj": lin(blk["q_proj"]),
+            "k_proj": lin(blk["k_proj"]), "v_proj": lin(blk["v_proj"]),
+            "out_proj": lin(blk["proj"]), "norm2": ln(blk["norm2"]),
+            "w1": lin(blk["w1"]), "w2": lin(blk["w2"]),
+            "ffn_ln": ln(blk["ffn_ln"]), "w3": lin(blk["w3"]),
+        }
+    cfg = EVA02Config(image_size=img, patch_size=patch, hidden_size=d,
+                      intermediate_size=inter, num_hidden_layers=layers,
+                      num_attention_heads=heads, num_classes=n_cls,
+                      pt_hw_seq_len=img // patch)
+    fm = EVA02Model(cfg)
+    pix = np.random.RandomState(0).randn(2, img, img, 3).astype(np.float32)
+    got = fm.module.apply({"params": params}, jnp.asarray(pix))
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(np.transpose(pix, (0, 3, 1, 2))))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=5e-4, rtol=1e-3)
