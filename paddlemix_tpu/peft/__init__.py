@@ -17,6 +17,16 @@ from .adalora import (
     allocator_update,
 )
 from .adalora import merge_params as adalora_merge_params
+from .prefix import (
+    PrefixTuningConfig,
+    PromptEncoderConfig,
+    concat_prefix_kv,
+    p_tuning_encode,
+    p_tuning_init,
+    prefix_encode,
+    prefix_init,
+    prefix_past_key_values,
+)
 from .tuners import (
     LoHaConfig,
     LoKrConfig,

@@ -106,3 +106,94 @@ def test_prompt_tuning_prepends():
     np.testing.assert_allclose(np.asarray(out[:, 4:]), np.asarray(embeds))
     np.testing.assert_allclose(np.asarray(out[0, :4]), np.asarray(prompt),
                                atol=1e-6)
+
+
+# --------------------------------------------------- prefix / p-tuning
+def test_prefix_tuning_kv_shapes_and_attention():
+    from paddlemix_tpu.ops import scaled_dot_product_attention
+    from paddlemix_tpu.peft import (
+        PrefixTuningConfig,
+        concat_prefix_kv,
+        prefix_init,
+        prefix_past_key_values,
+    )
+
+    cfg = PrefixTuningConfig(num_virtual_tokens=4, token_dim=16, num_layers=3,
+                             num_attention_heads=2)
+    params = prefix_init(cfg, jax.random.PRNGKey(0))
+    assert params["embedding"].shape == (4, 2 * 3 * 16)
+    pkv = prefix_past_key_values(params, cfg, batch_size=2)
+    assert pkv.shape == (3, 2, 2, 4, 2, 8)
+
+    q = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 2, 8))
+    k = v = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 2, 8))
+    k2, v2 = concat_prefix_kv(k, v, pkv[0])
+    assert k2.shape == (2, 9, 2, 8)
+    base = scaled_dot_product_attention(q, k, v)
+    with_pref = scaled_dot_product_attention(q, k2, v2)
+    assert float(jnp.abs(base - with_pref).max()) > 1e-4  # prefix is attended
+
+    # gradient reaches the adapter through the attention
+    def loss(p):
+        pkv = prefix_past_key_values(p, cfg, 2)
+        k2, v2 = concat_prefix_kv(k, v, pkv[0])
+        return jnp.sum(scaled_dot_product_attention(q, k2, v2) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["embedding"]).sum()) > 0
+
+
+def test_prefix_projection_mode():
+    from paddlemix_tpu.peft import PrefixTuningConfig, prefix_encode, prefix_init
+
+    cfg = PrefixTuningConfig(num_virtual_tokens=4, token_dim=16, num_layers=2,
+                             num_attention_heads=2, encoder_hidden_size=8,
+                             prefix_projection=True)
+    params = prefix_init(cfg, jax.random.PRNGKey(0))
+    assert params["embedding"].shape == (4, 16)  # token_dim, then MLP expands
+    out = prefix_encode(params, cfg)
+    assert out.shape == (4, 2 * 2 * 16)
+    g = jax.grad(lambda p: jnp.sum(prefix_encode(p, cfg) ** 2))(params)
+    assert float(jnp.abs(g["transform"]["fc1"]["kernel"]).sum()) > 0
+
+
+def test_p_tuning_mlp_and_lstm():
+    from paddlemix_tpu.peft import PromptEncoderConfig, p_tuning_encode, p_tuning_init
+
+    for enc in ("MLP", "LSTM"):
+        cfg = PromptEncoderConfig(num_virtual_tokens=4, token_dim=8,
+                                  encoder_hidden_size=6,
+                                  encoder_reparameterization_type=enc)
+        params = p_tuning_init(cfg, jax.random.PRNGKey(0))
+        out = p_tuning_encode(params, cfg)
+        assert out.shape == (4, 8), enc
+        g = jax.grad(lambda p: jnp.sum(p_tuning_encode(p, cfg) ** 2))(params)
+        assert float(jnp.abs(g["embedding"]).sum()) > 0, enc
+
+
+def test_p_tuning_lstm_matches_torch():
+    """The hand-rolled bidirectional LSTM scan vs torch.nn.LSTM."""
+    import torch
+
+    from paddlemix_tpu.peft.prefix import _lstm_scan
+
+    d, h, n = 8, 6, 5
+    torch.manual_seed(0)
+    lstm = torch.nn.LSTM(d, h, num_layers=1, bidirectional=True,
+                         batch_first=True).eval()
+    x = np.random.RandomState(0).randn(n, d).astype(np.float32)
+    with torch.no_grad():
+        ref, _ = lstm(torch.from_numpy(x)[None])
+
+    def params(sfx):
+        sd = lstm.state_dict()
+        return {"wx": jnp.asarray(sd[f"weight_ih_l0{sfx}"].numpy().T),
+                "wh": jnp.asarray(sd[f"weight_hh_l0{sfx}"].numpy().T),
+                "b": jnp.asarray((sd[f"bias_ih_l0{sfx}"]
+                                  + sd[f"bias_hh_l0{sfx}"]).numpy())}
+
+    got = jnp.concatenate([_lstm_scan(params(""), jnp.asarray(x)),
+                           _lstm_scan(params("_reverse"), jnp.asarray(x),
+                                      reverse=True)], -1)
+    np.testing.assert_allclose(np.asarray(got), ref[0].numpy(),
+                               atol=1e-5, rtol=1e-4)
