@@ -31,6 +31,34 @@ assert jax.device_count() == 8, jax.devices()
 
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------- tiering
+# Default `pytest -q` runs the FAST tier (measured 229 s on this 1-CPU box):
+# core, data plane, processors, metrics, the newest torch-parity guards.
+# Everything else — kernel/parallelism/quant files at 30-80 s each and
+# pipeline/model integration files at 60-600 s each (sequential per-file
+# timings recorded 2026-08-19; full suite 8,684 s) — is skipped unless
+# RUN_SLOW_TEST=1, mirroring the reference's @slow gating
+# (tests/testing_utils.py:49-57). New files are slow by default: add a file
+# here only with a measured fast-tier total still under ~5 min.
+FAST_FILES = {
+    "test_core.py", "test_data.py", "test_input_pipeline.py",
+    "test_native.py", "test_metrics.py", "test_datacopilot_ops.py",
+    "test_dataset_recipes.py", "test_wordpiece_tokenizer.py",
+    "test_processors_families.py", "test_sam_gdino_processors.py",
+    "test_processor_fidelity.py", "test_peft_tuners.py",
+    "test_torch_reference_r5.py", "test_navit.py", "test_sft_cli.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RUN_SLOW_TEST") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier; set RUN_SLOW_TEST=1 for the full suite")
+    for item in items:
+        if os.path.basename(str(item.fspath)) not in FAST_FILES:
+            item.add_marker(skip)
+
 
 @pytest.fixture(scope="session")
 def mesh8():
