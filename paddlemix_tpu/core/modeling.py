@@ -139,7 +139,11 @@ class PretrainedModel:
 
         os.makedirs(save_directory, exist_ok=True)
         self.config.save_pretrained(save_directory)
-        flat = {k: np.asarray(v) for k, v in flatten_params(self.params).items()}
+        # ascontiguousarray: safetensors writes the RAW buffer, so a
+        # transposed view (e.g. params assigned straight from a torch-key
+        # conversion) would silently save the untransposed bytes
+        flat = {k: np.ascontiguousarray(np.asarray(v))
+                for k, v in flatten_params(self.params).items()}
         total = sum(v.nbytes for v in flat.values())
         if total <= max_shard_bytes:
             save_file(flat, os.path.join(save_directory, self.weights_name))
