@@ -379,3 +379,128 @@ class ClipInterrogateTask(AppTask):
               else self.interrogator.interrogate_fast)
         return {"result": fn(inputs["image"],
                              max_flavors=inputs.get("max_flavors", 3))}
+
+
+# ------------------------------------------------------------ audio stack
+@register_task("audio_asr")
+class AudioASRTask(AppTask):
+    """Speech -> text via the native Whisper (reference appflow/audio_asr.py
+    delegates to a paddlespeech conformer executor; here the ASR model is
+    in-framework). model = WhisperForConditionalGeneration or a checkpoint
+    path; kwargs: processor (wav -> log-mel, default WhisperProcessor),
+    tokenizer (ids -> str). inputs: audio (waveform), sampling_rate,
+    optional prompt template with "{}" (reference audio_asr.py:56-58)."""
+
+    def _construct(self):
+        from ..models.whisper import WhisperForConditionalGeneration
+        from ..processors.whisper_processing import WhisperProcessor
+
+        self.asr = (WhisperForConditionalGeneration.from_pretrained(self.model)
+                    if isinstance(self.model, str) else self.model)
+        self.processor = self.kwargs.get("processor") or WhisperProcessor()
+        self.tokenizer = self.kwargs.get("tokenizer")
+
+    def _run_model(self, inputs):
+        import jax.numpy as jnp
+        import numpy as np
+
+        feats = self.processor(inputs["audio"], inputs.get("sampling_rate"))
+        ids = np.asarray(self.asr.generate(
+            jnp.asarray(feats)[None],
+            max_new_tokens=inputs.get("max_new_tokens", 64),
+            forced_decoder_ids=tuple(inputs.get("forced_decoder_ids", ()))))[0]
+        text = self.tokenizer(ids) if self.tokenizer is not None else ids
+        out = dict(inputs)
+        out["asr_result"] = text
+        if isinstance(text, str) and isinstance(inputs.get("prompt"), str) \
+                and "{}" in inputs["prompt"]:
+            out["prompt"] = inputs["prompt"].format(text)
+        out.setdefault("result", text)
+        return out
+
+
+@register_task("text_generation")
+class TextGenerationTask(AppTask):
+    """Prompt -> text. model = a callable (prompt -> str), or an
+    (lm, tokenizer) pair where lm has .generate over token ids (the
+    reference slot is ChatGlmTask, appflow/text2text_generation.py)."""
+
+    def _construct(self):
+        if callable(self.model) and not isinstance(self.model, tuple):
+            self.llm, self.tokenizer = self.model, None
+        else:
+            self.llm, self.tokenizer = self.model
+
+    def _run_model(self, inputs):
+        prompt = inputs.get("prompt", "")
+        if self.tokenizer is None:
+            text = self.llm(prompt)
+        else:
+            import jax.numpy as jnp
+            import numpy as np
+
+            ids = jnp.asarray([self.tokenizer.encode(prompt)], jnp.int32)
+            n = inputs.get("max_new_tokens", 64)
+            if hasattr(self.llm, "generate"):
+                out = self.llm.generate(ids, max_new_tokens=n)
+            else:  # causal LMs expose the jitted free-function decode
+                from ..models.llama.modeling import greedy_generate
+
+                out = greedy_generate(self.llm, ids, max_new_tokens=n)
+            text = self.tokenizer.decode(np.asarray(out)[0])
+        out_d = dict(inputs)
+        out_d["prompt"] = text      # feeds a downstream TTS stage
+        out_d["result"] = text
+        return out_d
+
+
+@register_task("text_to_speech")
+class TextToSpeechTask(AppTask):
+    """Text -> waveform via the native FastSpeech2 + Griffin-Lim (reference
+    appflow/text2speech_synthesize.py runs paddlespeech fastspeech2_csmsc +
+    pwgan). model = FastSpeech2Model or a checkpoint path; kwargs:
+    phoneme_fn (text -> id list, default: bytes mod vocab), mel_fb
+    (filterbank for Griffin-Lim, default slaney 80-mel @ 1024-fft)."""
+
+    def _construct(self):
+        from ..models.fastspeech2 import FastSpeech2Model
+
+        self.tts = (FastSpeech2Model.from_pretrained(self.model)
+                    if isinstance(self.model, str) else self.model)
+        self.phoneme_fn = self.kwargs.get("phoneme_fn")
+        self.mel_fb = self.kwargs.get("mel_fb")
+
+    def _run_model(self, inputs):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..models.fastspeech2 import griffin_lim
+        from ..processors.whisper_processing import slaney_mel_filterbank
+
+        text = inputs.get("prompt") or inputs.get("text", "")
+        if self.phoneme_fn is not None:
+            ids = list(self.phoneme_fn(text))
+        else:  # byte-level fallback "phonemizer"
+            v = self.tts.config.vocab_size
+            ids = [1 + (b % (v - 1)) for b in text.encode()][:64] or [1]
+        mel, mask = self.tts.synthesize(jnp.asarray([ids], jnp.int32))
+        n = int(np.asarray(mask[0]).sum())
+        mel_np = np.asarray(mel[0, : max(n, 1)], np.float64)
+        fb = (self.mel_fb if self.mel_fb is not None else
+              slaney_mel_filterbank(513, self.tts.config.num_mels, 16000))
+        wav = griffin_lim(mel_np, fb, n_fft=1024, hop=256,
+                          n_iter=inputs.get("griffin_lim_iters", 16))
+        out = dict(inputs)
+        out["result"] = wav
+        out["sampling_rate"] = 16000
+        return out
+
+
+# chained apps (reference configuration.py:176-218: audio2caption =
+# asr + chatglm; audio_chat = asr + chatglm + tts)
+APPLICATIONS.add("audio2caption", {
+    "task_class": [AudioASRTask, TextGenerationTask],
+    "tasks": ["audio2caption"]})
+APPLICATIONS.add("audio_chat", {
+    "task_class": [AudioASRTask, TextGenerationTask, TextToSpeechTask],
+    "tasks": ["audio_chat"]})

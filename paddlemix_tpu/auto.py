@@ -36,6 +36,8 @@ _MODEL_REGISTRY = {
     "internvl_chat": ("paddlemix_tpu.models.internvl2", "InternVLChatConfig",
                       "InternVLChatModel"),
     "eva02": ("paddlemix_tpu.models.eva02", "EVA02Config", "EVA02Model"),
+    "whisper": ("paddlemix_tpu.models.whisper", "WhisperConfig",
+                "WhisperForConditionalGeneration"),
     "sam": ("paddlemix_tpu.models.sam", "SamConfig", "SamModel"),
     "qwen_vl": ("paddlemix_tpu.models.qwen_vl", "QwenVLConfig",
                 "QwenVLForConditionalGeneration"),
