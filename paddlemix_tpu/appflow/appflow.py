@@ -267,7 +267,11 @@ class AutomaticLabelTask(AppTask):
                                   prompt=inputs.get("prompt", "describe the image"))
         det_inputs = {"image": inputs["image"],
                       "prompt": inputs.get("labels_prompt", caption)}
-        det_out = self.det_sam._run_model(det_inputs)
+        if "input_ids" in inputs:  # pre-tokenized grounding text
+            det_inputs["input_ids"] = inputs["input_ids"]
+        if "box_threshold" in inputs:
+            det_inputs["box_threshold"] = inputs["box_threshold"]
+        det_out = self.det_sam(det_inputs)  # __call__ constructs lazily
         return {"result": {"caption": caption, **det_out["result"]}
                 if isinstance(det_out.get("result"), dict)
                 else {"caption": caption, "detection": det_out.get("result")}}

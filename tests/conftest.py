@@ -48,6 +48,7 @@ FAST_FILES = {
     "test_processor_fidelity.py", "test_peft_tuners.py",
     "test_torch_reference_r5.py", "test_navit.py", "test_sft_cli.py",
     "test_whisper.py", "test_fastspeech2.py", "test_audio_stack.py",
+    "test_appflow_matrix.py",
 }
 
 
