@@ -628,6 +628,17 @@ def scaled_dot_product_attention(
             # decode) — the K=512 contraction doesn't pay for the kernel's
             # extra softmax state passes at bq=512
             and k.shape[1] >= 128 and q.shape[3] <= 256
+            # non-128-multiple short seqs (e.g. CLIP ViT's 197) lose to XLA
+            # math: the kernel pads to the block AND XLA inserts (B,S,H,D)->
+            # (B,H,S,D) layout copies around the custom-call that it would
+            # otherwise fuse into the matmuls. Measured on v5e, CLIP-B/16
+            # e2e: batch 256 = 138.6 ms math vs 163.7 ms flash (math wins);
+            # batch 1024 = 681 ms math vs 564 ms flash (the materialized
+            # fp32 scores hit ~1.9 GB/layer of HBM traffic — flash wins).
+            # Rule: unaligned seqs go to math unless the score tensor is
+            # HBM-scale (> ~1 GB) or the seq is long (>= 1024).
+            and (k.shape[1] % 128 == 0 or k.shape[1] >= 1024
+                 or q.shape[0] * q.shape[2] * q.shape[1] * k.shape[1] * 4 > 1e9)
             # flash kernel's causal mask is top-left aligned; attention_xla is
             # bottom-right — only equivalent when sq == skv, so route ragged
             # causal shapes to the XLA path

@@ -28,7 +28,9 @@ def main():
 
     from paddlemix_tpu.diffusers.models import AutoencoderKL, AutoencoderKLConfig
 
-    vae_cfg = AutoencoderKLConfig(sample_size=res, scaling_factor=0.13025)
+    quant = os.environ.get("VAE_QUANT", "") == "1"   # bench's a8w8 decoder
+    vae_cfg = AutoencoderKLConfig(sample_size=res, scaling_factor=0.13025,
+                                  quant="a8w8_static" if quant else None)
     vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
     v_args, v_kwargs = AutoencoderKL.example_inputs(vae_cfg)
     v_shapes = jax.eval_shape(
@@ -47,8 +49,25 @@ def main():
             return z + (0.0 * jnp.sum(img)).astype(z.dtype)
         return jax.lax.fori_loop(0, 4, body, z)
 
+    import contextlib
+
+    quant_ctx = contextlib.nullcontext()
+    if quant:
+        from paddlemix_tpu.ops.quant import static_a8w8_scope
+
+        def calib(params, z):
+            with static_a8w8_scope("record") as ctx:
+                vae.module.apply({"params": params}, z, method=vae.module.decode)
+            return jnp.stack(ctx.scales)
+
+        scales = np.asarray(jax.jit(calib)(vae.params, latents))
+        print(f"# calibrated {len(scales)} ops")
+        # fori_loop body traces ONCE -> one pass over the scale list
+        quant_ctx = static_a8w8_scope("apply", [float(v) for v in scales])
+
     t0 = time.time()
-    out = step(vae.params, latents)
+    with quant_ctx:
+        out = step(vae.params, latents)
     np.asarray(out[0, :2, :2, 0])
     print(f"# compile+first {time.time()-t0:.0f}s")
     ts = []
