@@ -366,7 +366,15 @@ class Trainer:
         step = int(self.state.step)
         metrics = {}
 
-        for epoch in range(max(a.num_train_epochs, 1)):
+        # max_steps (when set) OVERRIDES num_train_epochs, re-iterating the
+        # dataloader as many epochs as needed (HF Trainer semantics; before
+        # this, a max_steps run over a small dataset silently stopped at one
+        # epoch — e.g. examples/train_clip.py --synthetic did 4 of its
+        # requested steps)
+        explicit_steps = (max_steps is not None
+                          or getattr(a, "max_steps", -1) > 0)
+        n_epochs = 10 ** 9 if explicit_steps else max(a.num_train_epochs, 1)
+        for epoch in range(n_epochs):
             # device put-ahead: prepare (host->device + shard) the NEXT batch
             # while the current step runs — jax dispatch is async, so the
             # transfer overlaps compute and the loop only blocks on results.

@@ -152,3 +152,17 @@ def test_length_grouped_sampler_in_loader():
                         sampler=LengthGroupedSampler(lengths, batch_size=4))
     batches = list(loader)
     assert len(batches) == 8
+
+
+def test_max_steps_spans_epochs(tmp_path):
+    """max_steps OVERRIDES num_train_epochs: a small dataset is re-iterated
+    until the step budget is spent (regression: the loop used to stop
+    silently after num_train_epochs=1 — train_clip --synthetic did 4 of its
+    requested steps)."""
+    model = LlamaForCausalLM.from_config(CFG, seed=0)
+    loader = DataLoader(SlowDataset(n=8), batch_size=4, num_workers=0)
+    args = TrainingArguments(output_dir=str(tmp_path), max_steps=7,
+                             logging_steps=100, save_steps=0)
+    out = Trainer(model=model, args=args, loss_fn=loss_fn_for(model),
+                  train_dataloader=loader).train()
+    assert out["final_step"] == 7  # 2 steps/epoch -> needs 4 epochs
