@@ -46,6 +46,7 @@ from .pipelines import (
     DDPMPipeline,
     DDIMPipeline,
     SemanticStableDiffusionPipeline,
+    SafetyConfig,
     StableDiffusionPipelineSafe,
     AltDiffusionPipeline,
     BlipDiffusionPipeline,

@@ -69,6 +69,7 @@ from .t2i_adapter import StableDiffusionAdapterPipeline
 from .paint_by_example import PaintByExamplePipeline
 from .unclip import UnCLIPPipeline, UnCLIPTextProjModel
 from .semantic_guidance import (
+    SafetyConfig,
     SemanticStableDiffusionPipeline,
     StableDiffusionPipelineSafe,
 )

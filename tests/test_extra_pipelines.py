@@ -254,6 +254,15 @@ def test_safe_stable_diffusion_pipeline():
                 sld_warmup_steps=0, output_type="np")
     assert np.isfinite(np.asarray(out)).all()
 
+    # the reference SafetyConfig presets map 1:1 onto __call__ kwargs
+    # (ppdiffusers/pipelines/stable_diffusion_safe/__init__.py:35-63)
+    from paddlemix_tpu.diffusers.pipelines import SafetyConfig
+
+    for preset in (SafetyConfig.WEAK, SafetyConfig.MAX):
+        out, = pipe("a photo", height=32, width=32, num_inference_steps=2,
+                    output_type="np", **preset)
+        assert np.isfinite(np.asarray(out)).all()
+
 
 def test_mel_roundtrip_and_audio_diffusion():
     from paddlemix_tpu.diffusers.pipelines import AudioDiffusionPipeline, Mel
