@@ -17,6 +17,15 @@ layout recipe (flattened padded image so all nine taps are contiguous slices)
 comes from ops/conv_int8.py and the moments/affine split keeps the global
 GroupNorm reduction in XLA where it fuses with the producer for free.
 
+Round-5 end-to-end verdict (measured, v5e, SDXL-1024 a8w8-static driver
+bench): PMIX_FUSED_RESNET=1 LOSES — 0.3158 vs 0.4296 imgs/s; step 89.5 ->
+108.2 ms and the VAE-dominated fixed cost 91 -> 461 ms. Moving the fusion
+boundary to the whole block still denies XLA its cross-block layout choices,
+and the VAE decoder's large-spatial/low-channel resnets are hit hardest.
+Same economics as the bare Pallas int8 conv (ops/quant.py note): the kernel
+wins in isolation, the custom-call boundary loses the program. Default stays
+XLA; the kernel + this measurement stay in-tree so it isn't retried blindly.
+
 Structure per call (one per resnet conv):
   XLA:    s, s2 = moments(x)  (tiny (B,C) f32; fuses into x's producer)
           scale/shift = affine(gamma, beta, s, s2)       # (B, 2, C)
