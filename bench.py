@@ -66,10 +66,12 @@ def bench_llava_decode():
     from paddlemix_tpu.models.llava import LlavaConfig, LlavaForConditionalGeneration
 
     new_tokens = int(os.environ.get("BENCH_NEW_TOKENS", 128))
-    # int8 decode by default — mirrors the reference's default llava deploy
-    # config (deploy/llava/README.md --quant_type weight_only_int8); the
-    # a8w8 variant is the fastest measured decode on v5e (README).
-    quant = os.environ.get("BENCH_QUANT", "a8w8")
+    # a8w4 decode by default — the fastest measured mode on v5e (174.3 vs
+    # 103.4 tok/s a8w8, README waterfall) and the analogue of the reference
+    # deploy's --quant_type weight_only_int4 (deploy/llava/README.md); the
+    # quant-quality guardrail (tests/test_quant_quality.py) bounds its
+    # logit drift. BENCH_QUANT=a8w8|none for the other modes.
+    quant = os.environ.get("BENCH_QUANT", "a8w4")
     if quant in ("none", "bf16"):
         quant = None
     tiny = os.environ.get("BENCH_TINY") == "1"  # CI smoke of this path

