@@ -1,6 +1,13 @@
 from .base import BaseImageProcessor, ProcessorMixin
 from .blip_processing import BlipImageProcessor, Blip2Processor, BlipTextProcessor
 from .clip_processing import CLIPImageProcessor, CLIPProcessor
+from .eva02_processing import DataAugmentationForEVA, RandAugment
+from .llava_processing import (
+    LlavaProcessor,
+    process_anyres_image,
+    select_best_resolution,
+)
+from .whisper_processing import WhisperProcessor
 from .groundingdino_processing import (
     GroundingDinoImageProcessor,
     GroundingDinoProcessor,
