@@ -403,6 +403,14 @@ class AudioASRTask(AppTask):
                     if isinstance(self.model, str) else self.model)
         self.processor = self.kwargs.get("processor") or WhisperProcessor()
         self.tokenizer = self.kwargs.get("tokenizer")
+        if self.tokenizer is None and isinstance(self.model, str):
+            import os
+
+            if os.path.exists(os.path.join(self.model, "tokenizer.json")):
+                from ..utils.tokenizer import HFTokenizer
+
+                hf = HFTokenizer.from_pretrained(self.model)
+                self.tokenizer = lambda ids: hf.decode(ids)
 
     def _run_model(self, inputs):
         import jax.numpy as jnp

@@ -71,6 +71,25 @@ def test_audio_chat_chain_produces_waveform():
     assert out["sampling_rate"] == 16000
 
 
+def test_asr_tokenizer_autoload_from_checkpoint(tmp_path):
+    """A checkpoint dir with tokenizer.json gets text out without an explicit
+    tokenizer kwarg (the real-checkpoint path of applications/audio2caption)."""
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    ckpt = tmp_path / "whisper"
+    _tiny_whisper().save_pretrained(str(ckpt))
+    tok = Tokenizer(WordLevel({f"t{i}": i for i in range(32)}, unk_token="t0"))
+    tok.pre_tokenizer = Whitespace()
+    tok.save(str(ckpt / "tokenizer.json"))
+
+    wav = (np.sin(np.linspace(0, 220 * 2 * np.pi, 8000)) * 0.2).astype(np.float32)
+    flow = Appflow(app="audio_asr", models=[str(ckpt)])
+    out = flow(audio=wav, sampling_rate=16000, max_new_tokens=3)
+    assert isinstance(out["asr_result"], str) and out["asr_result"]
+
+
 def test_text_generation_with_lm_tokenizer_pair():
     """The (lm, tokenizer) route drives a real causal LM's generate."""
     import jax
