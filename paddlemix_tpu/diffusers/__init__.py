@@ -26,6 +26,14 @@ from .models import (
     T2IAdapterConfig,
 )
 from .pipelines import (
+    StableDiffusionDepth2ImgPipeline,
+    StableDiffusionLDM3DPipeline,
+    StableDiffusionModelEditingPipeline,
+    StableDiffusionPanoramaPipeline,
+    StableDiffusionParadigmsPipeline,
+    StableDiffusionSAGPipeline,
+    StableUnCLIPImageNormalizer,
+    StableUnCLIPImg2ImgPipeline,
     AudioLDMPipeline,
     DiffusionPipeline,
     StableDiffusionControlNetPipeline,

@@ -56,9 +56,11 @@ class CrossAttention(nn.Module):
     ip_tokens: int = 0
     ip_scale: float = 1.0
     quant: str = None
+    capture_self: bool = False  # sow self-attn probs too (SAG mid-block hook)
     dtype: jnp.dtype = jnp.float32
 
-    def _attend(self, q, ctx, name_k, name_v, capture=False, bias=None):
+    def _attend(self, q, ctx, name_k, name_v, capture=False, bias=None,
+                sow_name="cross_attn_probs"):
         inner = self.num_heads * self.head_dim
         b, sq = q.shape[:2]
         k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
@@ -76,8 +78,10 @@ class CrossAttention(nn.Module):
             # AttentionStore); active only under mutable=["intermediates"]
             logits = jnp.einsum("bqhd,bkhd->bhqk", qh.astype(jnp.float32),
                                 kh.astype(jnp.float32)) * (self.head_dim ** -0.5)
+            if bias is not None:
+                logits = logits + bias.astype(jnp.float32)
             probs = jax.nn.softmax(logits, axis=-1)
-            self.sow("intermediates", "cross_attn_probs", probs.mean(axis=1))
+            self.sow("intermediates", sow_name, probs.mean(axis=1))
             out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(vh.dtype), vh)
             return out.reshape(b, sq, inner)
         return scaled_dot_product_attention(qh, kh, vh,
@@ -94,9 +98,11 @@ class CrossAttention(nn.Module):
             context = context[:, :-self.ip_tokens]
         q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
                      dot_general=_qdg(self.quant), name="to_q")(hidden)
-        capture = is_cross and self.is_mutable_collection("intermediates")
-        out = self._attend(q, context, "to_k", "to_v", capture=capture,
-                           bias=bias)
+        capture = ((is_cross or self.capture_self)
+                   and self.is_mutable_collection("intermediates"))
+        out = self._attend(
+            q, context, "to_k", "to_v", capture=capture, bias=bias,
+            sow_name="cross_attn_probs" if is_cross else "self_attn_probs")
         if ip_ctx is not None:
             out = out + self.ip_scale * self._attend(q, ip_ctx, "to_k_ip", "to_v_ip")
         return nn.Dense(hidden.shape[-1], use_bias=self.out_bias, dtype=self.dtype,
@@ -174,6 +180,7 @@ class BasicTransformerBlock(nn.Module):
     ip_scale: float = 1.0
     quant: str = None
     attention_type: str = "default"  # "gated" = GLIGEN fuser after attn1
+    capture_self_probs: bool = False  # SAG: sow attn1 probs under intermediates
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -212,7 +219,7 @@ class BasicTransformerBlock(nn.Module):
         else:
             hidden = hidden + CrossAttention(
                 self.num_heads, self.head_dim, dtype=self.dtype, quant=self.quant,
-                name="attn1"
+                capture_self=self.capture_self_probs, name="attn1"
             )(h, context if self.only_cross_attention else None)
         if self.attention_type == "gated" and gligen_objs is not None:
             hidden = GatedSelfAttention(self.num_heads, self.head_dim,
@@ -261,6 +268,7 @@ class Transformer2DModel(nn.Module):
     ip_scale: float = 1.0
     quant: str = None
     attention_type: str = "default"
+    capture_self_probs: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -282,6 +290,7 @@ class Transformer2DModel(nn.Module):
                                       ip_tokens=self.ip_tokens, ip_scale=self.ip_scale,
                                       quant=self.quant,
                                       attention_type=self.attention_type,
+                                      capture_self_probs=self.capture_self_probs,
                                       dtype=self.dtype,
                                       name=f"transformer_blocks_{i}")(
                 x, context, gligen_objs=gligen_objs, extra_kv=extra_kv)

@@ -177,6 +177,12 @@ class UNetMidBlock2DCrossAttn(nn.Module):
                                ip_scale=self.ip_scale, quant=self.quant,
                                tome_ratio=self.tome_ratio,
                                attention_type=self.attention_type,
+                               # SAG hook: the mid-block self-attn map is the
+                               # smallest (cheap) and the one the reference
+                               # pipeline reads; sown only under
+                               # mutable=["intermediates"] so ordinary calls
+                               # pay nothing
+                               capture_self_probs=True,
                                dtype=self.dtype,
                                name="attentions_0")(x, context,
                                                     gligen_objs=gligen_objs,
@@ -274,6 +280,14 @@ class UNet2DConditionModule(nn.Module):
             emb = emb + TimestepEmbedding(time_embed_dim, dtype=self.dtype,
                                           name="class_embedding")(
                 c_emb.astype(self.dtype))
+        elif class_labels is not None and cfg.class_embed_type == "projection":
+            # stable-unclip: a continuous conditioning vector (noised CLIP
+            # image embedding + noise-level embedding) projected like a
+            # timestep (reference unet_2d_condition.py class_embed_type
+            # "projection")
+            emb = emb + TimestepEmbedding(time_embed_dim, dtype=self.dtype,
+                                          name="class_embedding")(
+                class_labels.astype(self.dtype))
         elif class_labels is not None and cfg.num_class_embeds:
             emb = emb + nn.Embed(cfg.num_class_embeds, time_embed_dim,
                                  dtype=self.dtype,
@@ -433,7 +447,10 @@ class UNet2DConditionModel(PretrainedModel):
             kwargs["added_cond_kwargs"] = {
                 "image_embeds": jnp.zeros((1, config.encoder_hid_dim or 1280)),
             }
-        if config.num_class_embeds or config.class_embed_type == "timestep":
+        if config.class_embed_type == "projection":
+            kwargs["class_labels"] = jnp.zeros(
+                (1, config.projection_class_embeddings_input_dim))
+        elif config.num_class_embeds or config.class_embed_type == "timestep":
             kwargs["class_labels"] = jnp.zeros((1,), jnp.int32)
         if config.attention_type == "gated":
             kwargs["gligen_objs"] = jnp.zeros((1, 4, ctx_dim))

@@ -93,6 +93,16 @@ from .sd_variants import (
     StableDiffusionInstructPix2PixPipeline,
     StableDiffusionUpscalePipeline,
 )
+from .sd_longtail import (
+    StableDiffusionDepth2ImgPipeline,
+    StableDiffusionLDM3DPipeline,
+    StableDiffusionModelEditingPipeline,
+    StableDiffusionPanoramaPipeline,
+    StableDiffusionParadigmsPipeline,
+    StableDiffusionSAGPipeline,
+    StableUnCLIPImageNormalizer,
+    StableUnCLIPImg2ImgPipeline,
+)
 from .vq_diffusion import VQDiffusionPipeline, VQDiffusionTransformerModel
 from .spectrogram_diffusion import (
     SpectrogramContEncoder,

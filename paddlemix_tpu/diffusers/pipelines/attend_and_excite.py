@@ -46,9 +46,11 @@ class StableDiffusionAttendAndExcitePipeline(StableDiffusionPipeline):
         """Mean of every sown cross-attention map whose query length is res^2.
 
         inter: the "intermediates" tree from module.apply; sown leaves are
-        (batch, sq, skv) head-averaged probability maps."""
-        maps = [l for l in jax.tree_util.tree_leaves(inter)
-                if hasattr(l, "ndim") and l.ndim == 3 and l.shape[1] == res * res]
+        (batch, sq, skv) head-averaged probability maps. Filter by the sow
+        name so the mid-block's self_attn_probs (SAG hook) never mix in."""
+        maps = [l for path, l in jax.tree_util.tree_flatten_with_path(inter)[0]
+                if any("cross_attn_probs" in str(getattr(k, "key", k)) for k in path)
+                and hasattr(l, "ndim") and l.ndim == 3 and l.shape[1] == res * res]
         if not maps:
             raise ValueError(f"no cross-attention maps at {res}x{res}; "
                              "check attn_res vs the UNet's attention levels")
